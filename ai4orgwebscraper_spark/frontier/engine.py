@@ -1,0 +1,305 @@
+"""The crawl engine: iterative batch rounds over a distributed frontier.
+
+Replaces the reference's single-threaded FIFO loop + global rate gate
+(reference app_wrapper.py:165-168 + web_scraper.py:14-20) with a
+data-parallel design whose observable behavior is defined by EXPLICIT
+keys only (SURVEY.md §3.4):
+
+- ``reference_mode=True`` reproduces the reference exactly: depth 0,
+  no dedup (duplicate seeds fetched twice — the reference has no
+  visited set, SURVEY.md C4), crawl order == normalized seed order,
+  global 1/rps spacing on a simulated clock.
+- ``reference_mode=False`` is the scale design: multi-round frontier
+  with per-host token budgets (politeness), robots_disallow
+  filtering, canonical-URL dedup (exact anti-join; Spark's runtime
+  bloom-filter join injection — enabled in session.py — provides the
+  bloom prefilter of SURVEY.md C4 without a hand-rolled filter), and
+  outlink enqueue with deterministic discovery ranks. Its executable
+  spec is ``frontier.oracle.bfs_crawl``.
+
+Scale notes (the 1000-executor view):
+- the fetch stage repartitions by SALTED host-hash so a hot host
+  (40% of the synthetic corpus) spreads over many tasks while
+  admission stays per-host-exact (admission happens before salting);
+- per-round global sequence numbers use plans.with_global_seq
+  (range-partition + offsets), never a single-partition window;
+- per-round ``localCheckpoint`` truncates the iterative lineage so
+  plans don't grow with round count;
+- every round persists frontier/seen/fetch-log snapshots + a manifest
+  (checkpoint.py) → kill/resume is bit-identical (north rule).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai4orgwebscraper_spark import schemas
+from ai4orgwebscraper_spark.frontier import checkpoint as ckpt
+from ai4orgwebscraper_spark.frontier.fetch import fetch_map_fn
+from ai4orgwebscraper_spark.functions import urls as U
+from ai4orgwebscraper_spark.plans import with_global_seq
+from ai4orgwebscraper_spark.sources.corpus import default_hosts
+
+FETCH_LOG_COLS = [f.name for f in schemas.FETCH_LOG.fields]
+
+
+@dataclass
+class CrawlOutputs:
+    fetch_log: DataFrame
+    documents: DataFrame
+    seen: DataFrame
+    metrics: dict = field(default_factory=dict)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        hosts: list[dict] | None = None,
+        default_rps: float = 3.0,
+        round_seconds: float = 10.0,
+        max_depth: int = 0,
+        max_rounds: int = 50,
+        reference_mode: bool = False,
+        checkpoint_dir: str | None = None,
+        salt_buckets: int = 8,
+    ):
+        self.spark = spark
+        self.hosts_rows = hosts if hosts is not None else default_hosts()
+        self.default_rps = default_rps
+        self.round_seconds = round_seconds
+        self.max_depth = max_depth
+        self.max_rounds = max_rounds
+        self.reference_mode = reference_mode
+        self.checkpoint_dir = checkpoint_dir
+        self.salt_buckets = salt_buckets
+        self.hosts_df = spark.createDataFrame(self.hosts_rows, schema=schemas.HOSTS)
+
+    # ------------------------------------------------------------------
+    def seeds_from_list(self, raw_seeds: list[str]) -> DataFrame:
+        rows = [(i, u) for i, u in enumerate(raw_seeds)]
+        return self.spark.createDataFrame(rows, schema=schemas.SEEDS)
+
+    def _canonical_seeds(self, seeds: DataFrame) -> DataFrame:
+        """normalize (reference app_wrapper.py:13-22) + key + host —
+        pure column expressions, fully codegen'd."""
+        canon = U.canonicalize_col(F.col("url"))
+        return (
+            seeds.select("seed_rank", canon.alias("url"))
+            .filter(F.col("url").isNotNull())
+            .select(
+                U.url_hash_col(F.col("url")).alias("url_hash"),
+                "url",
+                U.host_col(F.col("url")).alias("host"),
+                F.lit(0).alias("depth"),
+                F.col("seed_rank"),
+            )
+        )
+
+    def _salted_fetch(self, admitted: DataFrame) -> DataFrame:
+        """Distribute the admitted batch for fetching: salt the host
+        hash so one hot host fans out over salt_buckets tasks
+        (SURVEY.md §4.2#1), then run the vectorized fetch UDF."""
+        n_parts = self.spark.sparkContext.defaultParallelism
+        salted = admitted.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64("url_hash"), F.lit(self.salt_buckets)),
+        ).repartition(n_parts, F.col("host"), F.col("__salt")).drop("__salt")
+        return salted.mapInPandas(fetch_map_fn, schema=schemas.FETCH_RESULT)
+
+    # ------------------------------------------------------------------
+    def run(self, seeds: DataFrame) -> CrawlOutputs:
+        if self.reference_mode:
+            return self._run_reference(seeds)
+        return self._run_bfs(seeds)
+
+    # --- reference-parity path ----------------------------------------
+    def _run_reference(self, seeds: DataFrame) -> CrawlOutputs:
+        frontier = self._canonical_seeds(seeds).withColumn("fetched_at_ms", F.lit(0).cast("long"))
+        results = self._salted_fetch(frontier)
+        gap_ms = 1000.0 / self.default_rps
+        logged = with_global_seq(results, ["seed_rank"], seq_col="seq")
+        fetch_log = logged.select(
+            F.col("seq"),
+            F.lit(0).alias("round"),
+            F.col("depth"),
+            "url_hash",
+            "url",
+            "host",
+            "status",
+            "error",
+            "title",
+            F.floor(F.col("seq") * F.lit(gap_ms)).cast("long").alias("fetched_at_ms"),
+        )
+        documents = (
+            logged.filter(F.col("status") == 200)
+            .select(F.col("url_hash").alias("doc_id"), "spans")
+            .dropDuplicates(["doc_id"])
+        )
+        seen = (
+            logged.groupBy("url_hash", "url")
+            .agg(F.count("*").alias("multiplicity"))
+            .select("url_hash", "url", F.lit(0).alias("first_seen_round"), "multiplicity")
+        )
+        return CrawlOutputs(fetch_log, documents, seen, {"rounds": 1})
+
+    # --- scale path: multi-round BFS with politeness --------------------
+    def _host_plan(self, frontier: DataFrame) -> DataFrame:
+        """Join per-host politeness config (broadcast — hosts is a small
+        dim) and compute admission budget + inter-fetch gap."""
+        rs = self.round_seconds
+        joined = frontier.join(F.broadcast(self.hosts_df), "host", "left")
+        rate = F.coalesce(F.col("rate_limit_rps"), F.lit(self.default_rps))
+        budget = F.floor(rate * F.lit(rs))
+        budget = F.when(
+            F.col("crawl_delay_s").isNotNull(),
+            F.least(budget, F.floor(F.lit(rs) / F.col("crawl_delay_s"))),
+        ).otherwise(budget)
+        gap = F.greatest(F.lit(1000.0) / rate, F.coalesce(F.col("crawl_delay_s"), F.lit(0.0)) * 1000.0)
+        return joined.withColumn("__budget", budget).withColumn("__gap_ms", gap)
+
+    def _run_bfs(self, seeds: DataFrame) -> CrawlOutputs:
+        spark = self.spark
+        start_round, seq_counter = 0, 0
+        fetch_log_cum = spark.createDataFrame([], schemas.FETCH_LOG)
+        documents_cum = spark.createDataFrame([], schemas.DOCUMENTS)
+        state = ckpt.load_latest(spark, self.checkpoint_dir) if self.checkpoint_dir else None
+        if state is not None:
+            frontier, seen, fetch_log_cum, documents_cum, start_round, seq_counter = state
+        else:
+            canon = self._canonical_seeds(seeds)
+            # dedup seeds: first occurrence (min seed_rank) wins; every
+            # occurrence counts toward multiplicity (oracle semantics)
+            seen = (
+                canon.groupBy("url_hash", "url")
+                .agg(F.count("*").alias("multiplicity"))
+                .select("url_hash", "url", F.lit(0).alias("first_seen_round"), "multiplicity")
+            )
+            frontier = (
+                canon.groupBy("url_hash", "url", "host")
+                .agg(F.min("seed_rank").alias("seed_rank"), F.min("depth").alias("depth"))
+                .select("url_hash", "url", "host", "depth", "seed_rank")
+            )
+
+        rounds_done = start_round
+        for rnd in range(start_round, self.max_rounds):
+            frontier = frontier.localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                break
+            planned = self._host_plan(frontier)
+            w = Window.partitionBy("host").orderBy("depth", "seed_rank")
+            planned = planned.withColumn("__rn", F.row_number().over(w))
+            admitted = planned.filter(F.col("__rn") <= F.col("__budget"))
+            rest = planned.filter(F.col("__rn") > F.col("__budget")).select(
+                "url_hash", "url", "host", "depth", "seed_rank"
+            )
+            round_base = int(rnd * self.round_seconds * 1000)
+            admitted = admitted.withColumn(
+                "fetched_at_ms",
+                (F.lit(round_base) + F.floor((F.col("__rn") - 1) * F.col("__gap_ms"))).cast("long"),
+            ).select("url_hash", "url", "host", "depth", "seed_rank", "fetched_at_ms")
+
+            results = self._salted_fetch(admitted)
+            results = (
+                with_global_seq(results, ["depth", "seed_rank"], seq_col="seq", offset=seq_counter)
+                .withColumn("round", F.lit(rnd))
+                .localCheckpoint(eager=True)
+            )
+            n_fetched = results.count()
+            if n_fetched == 0 and rest.isEmpty():
+                break
+            seq_counter += n_fetched
+            rounds_done = rnd + 1
+
+            fetch_log_cum = fetch_log_cum.unionByName(results.select(*FETCH_LOG_COLS))
+            documents_cum = documents_cum.unionByName(
+                results.filter(F.col("status") == 200).select(
+                    F.col("url_hash").alias("doc_id"), "spans"
+                )
+            )
+
+            # --- discover outlinks (only below max_depth) ---------------
+            parents = results.filter(
+                (F.col("status") == 200) & (F.col("depth") < F.lit(self.max_depth))
+            )
+            links = parents.select(
+                "seq", "host", "depth", F.posexplode_outer("outlinks").alias("pos", "href")
+            ).filter(F.col("href").isNotNull())
+            resolved = links.select(
+                "seq",
+                "depth",
+                "pos",
+                U.canonicalize_col(U.resolve_outlink_col(F.col("host"), F.col("href"))).alias("url"),
+            ).filter(F.col("url").isNotNull())
+            offers = resolved.select(
+                U.url_hash_col(F.col("url")).alias("url_hash"),
+                "url",
+                U.host_col(F.col("url")).alias("child_host"),
+                U.path_col(F.col("url")).alias("__path"),
+                (F.col("depth") + 1).alias("depth"),
+                (F.col("seq") * 1000 + F.col("pos")).alias("seed_rank"),
+            )
+            # robots filter BEFORE seen counting (oracle semantics)
+            offers = (
+                offers.join(
+                    F.broadcast(self.hosts_df.select("host", "robots_disallow")),
+                    offers.child_host == F.col("host"),
+                    "left",
+                )
+                .filter(
+                    ~F.coalesce(
+                        F.exists(
+                            "robots_disallow", lambda p: F.col("__path").startswith(p)
+                        ),
+                        F.lit(False),
+                    )
+                )
+                .select("url_hash", "url", F.col("child_host").alias("host"), "depth", "seed_rank")
+            )
+
+            offer_counts = (
+                offers.groupBy("url_hash", "url", "host")
+                .agg(F.count("*").alias("multiplicity"), F.min("depth").alias("depth"),
+                     F.min("seed_rank").alias("seed_rank"))
+            ).localCheckpoint(eager=True)
+
+            # enqueue first discoveries only (anti-join against seen —
+            # Spark's runtime bloom join prefilters this at scale)
+            new_urls = offer_counts.join(seen.select("url_hash"), "url_hash", "left_anti")
+            frontier = rest.unionByName(
+                new_urls.select("url_hash", "url", "host", "depth", "seed_rank")
+            )
+            seen_updates = offer_counts.select(
+                "url_hash", "url", F.lit(rnd).alias("first_seen_round"), "multiplicity"
+            )
+            seen = (
+                seen.unionByName(seen_updates)
+                .groupBy("url_hash", "url")
+                .agg(
+                    F.min("first_seen_round").alias("first_seen_round"),
+                    F.sum("multiplicity").alias("multiplicity"),
+                )
+                .select("url_hash", "url", "first_seen_round", "multiplicity")
+                .localCheckpoint(eager=True)
+            )
+            if self.checkpoint_dir:
+                ckpt.save_round(
+                    self.checkpoint_dir, rnd, seq_counter, frontier, seen,
+                    fetch_log_cum, documents_cum,
+                )
+
+        documents = documents_cum.dropDuplicates(["doc_id"])
+        return CrawlOutputs(
+            fetch_log_cum, documents, seen,
+            {"rounds": rounds_done, "fetched": seq_counter},
+        )
+
+
+def throughput_urls_per_sec(n_urls: int, wall_seconds: float) -> float:
+    if wall_seconds <= 0:
+        return math.inf
+    return n_urls / wall_seconds

@@ -1,0 +1,165 @@
+"""Deterministic synthetic web — the network replaced by pure hash math.
+
+Pattern from the reference's index-keyed mock generator (reference:
+linkedin_api.py:69-115: ``mock-job-{i+1}``, ``company {i%5+1}``) with
+its nondeterminism fixed: the reference keys off ``Date.now()``
+(linkedin_api.py:71); here every byte of every page is a pure
+function of md5(canonical_url), so any process — the pure-Python
+oracle, a Spark executor, a different machine — regenerates the
+identical web. No RNG, no wall clock (north-rule resumability
+requires bit-identical replay).
+
+``page_for(url)`` is THE shared definition: the oracle calls it
+directly; the engine calls it inside the vectorized fetch UDF
+(frontier/fetch.py). Interleaved text + media spans in document
+order implement BASELINE.json:input_hint.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+from ai4orgwebscraper_spark.functions.urls import canonicalize_py, host_py, url_hash_py
+
+_VOCAB = (
+    "spark frontier crawl fetch parse span media queue host token bucket "
+    "bloom filter shuffle partition skew salt broadcast join window "
+    "iceberg snapshot resume lineage metric order seed depth priority"
+).split()
+
+N_HOSTS = 20
+SKEW_HOST = "host0.example.com"
+
+
+def _h64(s: str, salt: str = "") -> int:
+    """Deterministic 64-bit hash of a string (md5-based, seed-free)."""
+    return int.from_bytes(hashlib.md5(f"{salt}|{s}".encode()).digest()[:8], "big")
+
+
+@dataclass
+class SyntheticPage:
+    url: str
+    url_hash: str
+    host: str
+    status: int
+    latency_ms: int
+    title: str | None
+    # document-order interleaved spans: (kind, text, media_ref, offset)
+    spans: list[tuple[str, str | None, str | None, int]] = field(default_factory=list)
+    outlinks: list[str] = field(default_factory=list)
+    error: str | None = None
+
+
+def host_for_index(i: int) -> str:
+    """Skewed host assignment: ~40% of URLs land on one hot host
+    (FIXTURES.md §1: exercises salting / AQE skew handling)."""
+    h = _h64(str(i), "hostpick") % 100
+    if h < 40:
+        return SKEW_HOST
+    return f"host{h % N_HOSTS}.example.com"
+
+
+def seed_urls(n: int) -> list[str]:
+    """Raw (pre-normalization) seed list: mixes http://, https://,
+    schemeless and whitespace-padded forms plus periodic duplicates —
+    the shapes normalize_url must handle (reference app_wrapper.py:13-22)."""
+    out: list[str] = []
+    for i in range(n):
+        host = host_for_index(i)
+        slug = hashlib.md5(f"seed|{i}".encode()).hexdigest()[:10]
+        url = f"{host}/p/{slug}"
+        form = _h64(str(i), "form") % 4
+        if form == 0:
+            url = "http://" + url
+        elif form == 1:
+            url = "https://" + url
+        elif form == 2:
+            pass  # schemeless
+        else:
+            url = "  https://" + url + "  "  # whitespace-padded
+        if i > 0 and i % 17 == 0:
+            out.append(out[i - 1])  # duplicate (reference fetches dups twice)
+        else:
+            out.append(url)
+    return out
+
+
+def _words(h: int, n: int, salt: int) -> str:
+    return " ".join(_VOCAB[(h >> ((i + salt) % 48)) % len(_VOCAB)] for i in range(n))
+
+
+def page_for(raw_url: str) -> SyntheticPage:
+    """Generate the page behind a URL. Pure; identical everywhere."""
+    canon = canonicalize_py(raw_url)
+    assert canon is not None
+    uh = url_hash_py(canon)
+    host = host_py(canon)
+    h = _h64(canon, "page")
+
+    status_roll = h % 100
+    if status_roll < 80:
+        status = 200
+    elif status_roll < 88:
+        status = 403
+    elif status_roll < 94:
+        status = 404
+    else:
+        status = 500
+    latency_ms = 20 + (h >> 8) % 480
+
+    page = SyntheticPage(
+        url=canon, url_hash=uh, host=host, status=status, latency_ms=latency_ms, title=None
+    )
+    if status != 200:
+        # error-as-row (reference web_scraper.py:51,54): no spans/outlinks
+        page.error = f"HTTP {status}"
+        return page
+
+    page.title = f"Page {uh[:8]}"
+    n_paras = 1 + (h >> 16) % 6
+    offset = 0
+    spans: list[tuple[str, str | None, str | None, int]] = []
+    for p in range(n_paras):
+        ph = _h64(canon, f"para{p}")
+        text = _words(ph, 5 + ph % 12, p)
+        spans.append(("text", text, None, offset))
+        offset += 1
+        if (ph >> 4) % 3 == 0:  # interleave a media_ref after ~1/3 of paras
+            img = f"/img/{hashlib.md5(f'{canon}|img{p}'.encode()).hexdigest()[:8]}.png"
+            alt = _VOCAB[(ph >> 8) % len(_VOCAB)]
+            spans.append(("media_ref", alt, img, offset))
+            offset += 1
+    page.spans = spans
+
+    n_links = (h >> 24) % 5
+    links: list[str] = []
+    for k in range(n_links):
+        lh = _h64(canon, f"link{k}")
+        target_host = SKEW_HOST if lh % 100 < 40 else f"host{lh % N_HOSTS}.example.com"
+        slug = hashlib.md5(f"{canon}|out{k}".encode()).hexdigest()[:10]
+        if lh % 3 == 0:
+            links.append(f"/p/{slug}")  # relative — resolved against page host
+        else:
+            links.append(f"https://{target_host}/p/{slug}")
+    page.outlinks = links
+    return page
+
+
+def default_hosts() -> list[dict]:
+    """Per-host politeness state (FIXTURES.md §1 `hosts`): 3.0 rps
+    default — the reference's global rate (web_scraper.py:18-19)
+    applied per host; the hot host gets a synthetic robots entry."""
+    rows = []
+    for i in range(N_HOSTS):
+        host = f"host{i}.example.com"
+        rows.append(
+            {
+                "host": host,
+                "rate_limit_rps": 3.0,
+                "crawl_delay_s": 1.0 if host == SKEW_HOST else None,
+                "robots_disallow": ["/private/"] if host == SKEW_HOST else [],
+                "token_capacity": 30.0,
+            }
+        )
+    return rows
