@@ -1,0 +1,173 @@
+"""Event analytics operators (SURVEY.md A2-A7 shapes over `events`).
+
+The reference's analytics are pandas/Counter one-liners over a single
+page (app.py:125-155, app.py:503-527); here the same shapes —
+conditional tallies, time-window counts, top-k — run as distributed
+aggregations, plus the sessionization/window machinery the engine
+adds (SURVEY.md W1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai4orgwebscraper_spark.sources.readers import load_table
+
+DEC = "decimal(18,2)"
+
+
+def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (reference internal/external tally,
+    app.py:503-527, generalized)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.when(F.col("value") > 100, 1)).alias("n_high_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed counting — the batch analog of the reference's
+    per-minute request window (linkedin_api.py:46-67). Timestamps are
+    emitted as formatted strings so Spark(UTC) and DuckDB(naive)
+    values compare exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("hour")
+    )
+
+
+def q_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by activity (reference word-frequency top-30 shape,
+    app.py:148-149 — Counter.most_common as distributed hash agg +
+    TakeOrderedAndProject)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(20)
+    )
+
+
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user session count with a 30-minute
+    inactivity gap — lag + conditional cumsum over an event-time
+    window. This is the batch twin of Structured Streaming's
+    session_window (streaming/events_stream.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; with the session pinned to
+    # UTC the cast preserves the wall-clock instant
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap = ms - F.lag(ms).over(w)
+    with_breaks = ev.withColumn(
+        "is_new_session",
+        F.when(gap.isNull() | (gap > 1800 * 1000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        with_breaks.groupBy("user_id")
+        .agg(
+            F.sum("is_new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (reference F14: json round-trips,
+    linkedin_api.py:388-393) — typed extraction from the props column,
+    bucketed stats on the extracted value."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("k_bucket")
+    )
+
+
+def q_event_type_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total: two-level agg with a scalar subquery/ratio —
+    rounded on both sides (ratio of exact counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("n_events") / F.lit(total), 6).alias("share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "q_events_by_type": q_events_by_type,
+    "q_events_hourly": q_events_hourly,
+    "q_user_topk": q_user_topk,
+    "q_events_sessionized": q_events_sessionized,
+    "q_events_props_json": q_events_props_json,
+    "q_event_type_rates": q_event_type_rates,
+}
+
+ORACLES = {
+    "q_events_by_type": """
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+               count(DISTINCT user_id) AS n_users,
+               count(CASE WHEN value > 100 THEN 1 END) AS n_high_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q_events_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1 ORDER BY hour
+    """,
+    "q_user_topk": """
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY user_id
+        ORDER BY n_events DESC, user_id LIMIT 20
+    """,
+    "q_events_sessionized": """
+        SELECT user_id, sum(is_new_session) AS n_sessions, count(*) AS n_events
+        FROM (
+            SELECT user_id,
+                   CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+        )
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "q_events_props_json": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY k_bucket
+    """,
+    "q_event_type_rates": """
+        SELECT event_type, count(*) AS n_events,
+               round(count(*) / (SELECT count(*) FROM events), 6) AS share
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+}

@@ -1,0 +1,316 @@
+"""Deduplication suite over `documents` — exact, MinHash+LSH, SimHash,
+n-gram Jaccard (the training-data-pipeline operators; absent in the
+reference, which refetches duplicates — SURVEY.md C4).
+
+Cross-engine determinism trick: every hash in these operators is
+md5-hex (identical in Spark, DuckDB and hashlib), and MinHash minima
+are taken over hex STRINGS (lexicographic min of a uniform hex hash
+is a valid minhash), so the DuckDB oracle reproduces Spark's results
+bit-for-bit — no floating point, no engine-specific hash.
+
+Scale notes:
+- exact dedup: one hash-groupBy, map-side combined.
+- MinHash: explode(distinct tokens) x K seeds → groupBy(doc, seed)
+  min → band keys → groupBy(band). All shuffles are on doc_id or
+  band key; band buckets are the LSH candidate generator, so the
+  quadratic pair join only ever runs inside a bucket.
+- SimHash: bit-majority as a (doc, bitpos) aggregation — linear.
+- n-gram Jaccard: blocked by `source` so the pair join is bounded
+  per block (the classic blocking strategy for near-dup at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai4orgwebscraper_spark.operators.text import _tokens
+from ai4orgwebscraper_spark.sources.readers import load_table
+
+N_SEEDS = 8
+SEEDS_PER_BAND = 2  # -> 4 bands
+
+
+def _distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("token")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint: groups with >1 doc are
+    duplicates; keeper = min doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(_tokens(F.col("text")), " "))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_key) — the LSH bucketing table."""
+    toks = _distinct_tokens(spark, sf_dir)
+    seeds = spark.range(N_SEEDS).select(F.col("id").cast("int").alias("seed"))
+    mh = (
+        toks.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws("#", F.col("token"), F.col("seed"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    return (
+        mh.withColumn("band", (F.col("seed") / SEEDS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("band").cast("string"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                            lambda s: s["mh"],
+                        ),
+                        ",",
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: docs sharing any band bucket.
+
+    shingle→minhash→band→bucket-join; output is the deduped candidate
+    pair list (doc_a < doc_b) — downstream exact Jaccard verification
+    runs only on these pairs."""
+    bands = minhash_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # pair lists are quadratic-ish; the stable driver-facing contract is
+    # the per-doc candidate profile (row count bounded by |documents|)
+    return (
+        pairs.groupBy("doc_a")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.min("doc_b").alias("min_doc_b"),
+            F.max("doc_b").alias("max_doc_b"),
+        )
+        .orderBy("doc_a")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document via bit-majority over token hashes.
+
+    Each token contributes ±1 to 16 bit positions (bits = first 4 hex
+    chars of md5(token)); the doc's bit is the sign of the sum. Encoded
+    as an integer; equal simhash16 = near-dup bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    hexmap = "0123456789abcdef"
+    bits = spark.range(16).select(
+        (F.col("id") / 4).cast("int").alias("char_idx"),
+        (F.col("id") % 4).cast("int").alias("bit_in_char"),
+        F.col("id").cast("int").alias("bitpos"),
+    )
+    hashed = toks.select("doc_id", F.md5("token").alias("h"))
+    contrib = (
+        hashed.crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id",
+            "bitpos",
+            (
+                F.floor(
+                    (F.expr(f"instr('{hexmap}', substring(h, char_idx + 1, 1))") - 1)
+                    / F.pow(F.lit(2), F.col("bit_in_char"))
+                ).cast("long")
+                % 2
+            ).alias("bit"),
+        )
+        .select("doc_id", "bitpos", (F.col("bit") * 2 - 1).alias("vote"))
+    )
+    return (
+        contrib.groupBy("doc_id", "bitpos")
+        .agg(F.sum("vote").alias("votes"))
+        .select(
+            "doc_id",
+            F.when(F.col("votes") > 0, F.pow(F.lit(2), F.col("bitpos")).cast("long"))
+            .otherwise(F.lit(0))
+            .alias("bitval"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash16"))
+        .orderBy("doc_id")
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup stats, blocked by `source`.
+
+    Inverted-index join (pairs share >=1 shingle) inside each block;
+    jaccard = |shared| / (|A| + |B| - |shared|). Output is per-block
+    aggregate (pair lists explode at scale; stats are the stable
+    contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
+    shingle_expr = F.expr(
+        "CASE WHEN size(toks) >= 3 THEN "
+        "transform(sequence(1, size(toks) - 2), "
+        "  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))) "
+        "ELSE slice(toks, 1, 0) END"
+    )
+    shingles = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(shingle_expr)).alias("shingle")
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    pairs = (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "source",
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_shared")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_candidate_pairs"),
+            F.count(F.when(F.col("jaccard") >= 0.5, 1)).alias("n_dup_pairs"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+}
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+
+ORACLES = {
+    "q_dedup_exact": f"""
+        SELECT md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
+               count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+        FROM documents
+        GROUP BY 1 HAVING count(*) > 1
+        ORDER BY fingerprint
+    """,
+    "q_dedup_minhash_lsh": f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest({_TOKS}) AS token FROM documents
+        ),
+        mh AS (
+            SELECT doc_id, s.seed, min(md5(token || '#' || CAST(s.seed AS VARCHAR))) AS mh
+            FROM toks, generate_series(0, {N_SEEDS - 1}) s(seed)
+            GROUP BY doc_id, s.seed
+        ),
+        bands AS (
+            -- NB: integer division must truncate (Spark cast semantics);
+            -- DuckDB CAST(double AS INT) rounds, so use // here
+            SELECT doc_id, seed // {SEEDS_PER_BAND} AS band,
+                   md5(CAST(seed // {SEEDS_PER_BAND} AS VARCHAR) || '|' ||
+                       string_agg(mh, ',' ORDER BY seed)) AS band_key
+            FROM mh GROUP BY doc_id, seed // {SEEDS_PER_BAND}
+        )
+        , pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, count(*) AS n_candidates,
+               min(doc_b) AS min_doc_b, max(doc_b) AS max_doc_b
+        FROM pairs GROUP BY doc_a ORDER BY doc_a
+    """,
+    "q_dedup_simhash": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+        ),
+        contrib AS (
+            SELECT doc_id, bp.bitpos,
+                   2 * (CAST(floor((strpos('0123456789abcdef',
+                            substr(md5(token), bp.bitpos // 4 + 1, 1)) - 1)
+                        / power(2, bp.bitpos % 4)) AS BIGINT) % 2) - 1 AS vote
+            FROM toks, generate_series(0, 15) bp(bitpos)
+        )
+        SELECT doc_id,
+               sum(CASE WHEN votes > 0 THEN CAST(power(2, bitpos) AS BIGINT) ELSE 0 END) AS simhash16
+        FROM (
+            SELECT doc_id, bitpos, sum(vote) AS votes
+            FROM contrib GROUP BY doc_id, bitpos
+        )
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    "q_dedup_ngram_jaccard": f"""
+        WITH d AS (
+            SELECT doc_id, source, {_TOKS} AS toks FROM documents
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id, source,
+                   unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingle
+            FROM d
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+        ),
+        shared AS (
+            SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+            GROUP BY a.source, a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT source, doc_a, doc_b,
+                   n_shared / (sa.n_shingles + sb.n_shingles - n_shared) AS jaccard
+            FROM shared
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+        )
+        SELECT source, count(*) AS n_candidate_pairs,
+               count(CASE WHEN jaccard >= 0.5 THEN 1 END) AS n_dup_pairs,
+               round(max(jaccard), 6) AS max_jaccard
+        FROM pairs GROUP BY source ORDER BY source
+    """,
+}

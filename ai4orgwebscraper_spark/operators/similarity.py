@@ -1,0 +1,171 @@
+"""Similarity search over `embeddings` (array<float>, dim 64).
+
+Brute-force cosine top-k is the exactness baseline; the sign-bucket
+LSH variant is the scale path (bucket first, score only inside the
+bucket — the same candidate-generation pattern as MinHash bands in
+dedup.py). Dot products run through `zip_with` + `aggregate` on
+doubles (JVM-side higher-order functions — no Python UDF); outputs
+are rounded so Spark and DuckDB float summation agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai4orgwebscraper_spark.sources.readers import load_table
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+def _cosine(a, b):
+    """cos(a, b) as a sequential JVM fold over the zipped arrays."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k of one query vector against the corpus.
+
+    Scale: the query is a broadcast single row; the scan is
+    embarrassingly parallel, the top-k a TakeOrderedAndProject —
+    no shuffle of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("query_vec")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("embedding"), F.col("query_vec")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+def _sign_bucket(col):
+    """8-bit sign-LSH bucket: signs of the first 8 dimensions
+    (axis-aligned hyperplanes — deterministic, cross-engine)."""
+    bucket = F.lit(0)
+    for i in range(8):
+        bucket = bucket + F.when(
+            F.element_at(col, i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: score only vectors in the query's sign
+    bucket. Scale: bucket is a cheap column expr; candidate set is
+    ~1/256 of the corpus; exactness traded for a 256x scan cut."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _sign_bucket(F.col("embedding"))
+    )
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("query_vec"), F.col("bucket").alias("query_bucket")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .filter(F.col("bucket") == F.col("query_bucket"))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(_cosine(F.col("embedding"), F.col("query_vec")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup stats, blocked by label (the
+    embedding twin of dedup.q_dedup_ngram_jaccard): per label, pairs
+    checked and pairs above threshold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.label").alias("label"),
+            _cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+        )
+    )
+    return (
+        pairs.groupBy("label")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count(F.when(F.col("cosine") >= 0.5, 1)).alias("n_near_dups"),
+            F.round(F.max("cosine"), 3).alias("max_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES = {
+    "q_knn_bruteforce": q_knn_bruteforce,
+    "q_knn_lsh": q_knn_lsh,
+    "q_embedding_neardup": q_embedding_neardup,
+}
+
+def _cos_sql(a: str, b: str) -> str:
+    ca, cb = f"CAST({a} AS DOUBLE[])", f"CAST({b} AS DOUBLE[])"
+    return (
+        f"list_dot_product({ca}, {cb}) / "
+        f"(sqrt(list_dot_product({ca}, {ca})) * sqrt(list_dot_product({cb}, {cb})))"
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+ORACLES = {
+    "q_knn_bruteforce": f"""
+        WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+        SELECT vec_id, label,
+               round({_cos_sql("embedding", "query_vec")}, 4) AS cosine
+        FROM embeddings, q
+        WHERE vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    """,
+    "q_knn_lsh": f"""
+        WITH e AS (
+            SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+        ),
+        q AS (SELECT embedding AS query_vec, bucket AS query_bucket
+              FROM e WHERE vec_id = {QUERY_VEC_ID})
+        SELECT vec_id, bucket,
+               round({_cos_sql("embedding", "query_vec")}, 4) AS cosine
+        FROM e, q
+        WHERE vec_id <> {QUERY_VEC_ID} AND bucket = query_bucket
+        ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    """,
+    "q_embedding_neardup": f"""
+        WITH pairs AS (
+            SELECT a.label AS label,
+                   {_cos_sql("a.embedding", "b.embedding")} AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT label, count(*) AS n_pairs,
+               count(CASE WHEN cosine >= 0.5 THEN 1 END) AS n_near_dups,
+               round(max(cosine), 3) AS max_cosine
+        FROM pairs GROUP BY label ORDER BY label
+    """,
+}

@@ -1,0 +1,84 @@
+"""Streaming twin of the batch event analytics.
+
+The reference's nearest streaming-shaped state is its per-minute
+request counter (reference linkedin_api.py:46-67) — a tumbling-window
+count. Here that becomes a real Structured Streaming plan: parquet
+source → watermark → windowed aggregation → memory sink, driven to
+completion synchronously with processAllAvailable() so tests and the
+driver's oracle can compare it against the equivalent batch GROUP BY.
+
+At scale the source is Kafka and the sink Iceberg via foreachBatch;
+the plan (watermark + tumbling window + agg) is identical.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def events_tumbling_counts(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Run a tumbling-window count over the events table AS A STREAM
+    and return the completed result as a batch DataFrame."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source needs a directory; glob-filter to the
+    # single events file inside the sf dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # the parquet ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP —
+    # with the session pinned to UTC the cast preserves the instant
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+    name = "evt_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {name}")  # noqa: S608 — generated name
+    return out.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
+def q_events_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_tumbling_counts(spark, sf_dir)
+
+
+QUERIES = {"q_events_window_stream": q_events_window_stream}
+
+ORACLES = {
+    "q_events_window_stream": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+}
