@@ -66,7 +66,7 @@ class CrawlEngine:
         max_rounds: int = 50,
         reference_mode: bool = False,
         checkpoint_dir: str | None = None,
-        salt_buckets: int = 8,
+        salt_buckets: int | None = None,
     ):
         self.spark = spark
         self.hosts_rows = hosts if hosts is not None else default_hosts()
@@ -102,12 +102,18 @@ class CrawlEngine:
 
     def _salted_fetch(self, admitted: DataFrame) -> DataFrame:
         """Distribute the admitted batch for fetching: salt the host
-        hash so one hot host fans out over salt_buckets tasks
-        (SURVEY.md §4.2#1), then run the vectorized fetch UDF."""
-        n_parts = self.spark.sparkContext.defaultParallelism
+        hash so one hot host fans out across tasks (SURVEY.md §4.2#1),
+        then run the vectorized fetch UDF.
+
+        The salt must SCALE WITH PARALLELISM: a fixed salt caps the hot
+        host (40% of the synthetic corpus) at salt_buckets tasks and
+        flattens the 8->32-core speedup. Default: 8x parallelism, so
+        the hottest (host, salt) cell is ~0.4%/8 of the batch."""
+        n_parts = 2 * self.spark.sparkContext.defaultParallelism
+        buckets = self.salt_buckets or 8 * self.spark.sparkContext.defaultParallelism
         salted = admitted.withColumn(
             "__salt",
-            F.pmod(F.xxhash64("url_hash"), F.lit(self.salt_buckets)),
+            F.pmod(F.xxhash64("url_hash"), F.lit(buckets)),
         ).repartition(n_parts, F.col("host"), F.col("__salt")).drop("__salt")
         return salted.mapInPandas(fetch_map_fn, schema=schemas.FETCH_RESULT)
 
@@ -119,29 +125,23 @@ class CrawlEngine:
 
     # --- reference-parity path ----------------------------------------
     def _run_reference(self, seeds: DataFrame) -> CrawlOutputs:
-        frontier = self._canonical_seeds(seeds).withColumn("fetched_at_ms", F.lit(0).cast("long"))
-        results = self._salted_fetch(frontier)
+        # seq + simulated clock are pure functions of seed order, so
+        # they're assigned on the SLIM frontier and carried through the
+        # fetch — no global op ever touches fat span rows.
         gap_ms = 1000.0 / self.default_rps
-        logged = with_global_seq(results, ["seed_rank"], seq_col="seq")
-        fetch_log = logged.select(
-            F.col("seq"),
-            F.lit(0).alias("round"),
-            F.col("depth"),
-            "url_hash",
-            "url",
-            "host",
-            "status",
-            "error",
-            "title",
-            F.floor(F.col("seq") * F.lit(gap_ms)).cast("long").alias("fetched_at_ms"),
+        frontier = with_global_seq(self._canonical_seeds(seeds), ["seed_rank"], seq_col="seq")
+        frontier = frontier.withColumn(
+            "fetched_at_ms", F.floor(F.col("seq") * F.lit(gap_ms)).cast("long")
         )
+        results = self._salted_fetch(frontier).withColumn("round", F.lit(0))
+        fetch_log = results.select(*FETCH_LOG_COLS)
         documents = (
-            logged.filter(F.col("status") == 200)
+            results.filter(F.col("status") == 200)
             .select(F.col("url_hash").alias("doc_id"), "spans")
             .dropDuplicates(["doc_id"])
         )
         seen = (
-            logged.groupBy("url_hash", "url")
+            frontier.groupBy("url_hash", "url")
             .agg(F.count("*").alias("multiplicity"))
             .select("url_hash", "url", F.lit(0).alias("first_seen_round"), "multiplicity")
         )
@@ -202,10 +202,13 @@ class CrawlEngine:
                 "fetched_at_ms",
                 (F.lit(round_base) + F.floor((F.col("__rn") - 1) * F.col("__gap_ms"))).cast("long"),
             ).select("url_hash", "url", "host", "depth", "seed_rank", "fetched_at_ms")
+            # global seq on the slim admitted rows, pre-fetch
+            admitted = with_global_seq(
+                admitted, ["depth", "seed_rank"], seq_col="seq", offset=seq_counter
+            )
 
-            results = self._salted_fetch(admitted)
             results = (
-                with_global_seq(results, ["depth", "seed_rank"], seq_col="seq", offset=seq_counter)
+                self._salted_fetch(admitted)
                 .withColumn("round", F.lit(rnd))
                 .localCheckpoint(eager=True)
             )

@@ -24,13 +24,14 @@ from ai4orgwebscraper_spark.sources.corpus import page_for
 
 def _fetch_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     rows = []
-    for url, url_hash, host, depth, rank, fetched_at in zip(
-        pdf["url"], pdf["url_hash"], pdf["host"], pdf["depth"], pdf["seed_rank"],
-        pdf["fetched_at_ms"],
+    for seq, url, url_hash, host, depth, rank, fetched_at in zip(
+        pdf["seq"], pdf["url"], pdf["url_hash"], pdf["host"], pdf["depth"],
+        pdf["seed_rank"], pdf["fetched_at_ms"],
     ):
         page = page_for(url)
         rows.append(
             {
+                "seq": int(seq),
                 "url_hash": url_hash,
                 "url": url,
                 "host": host,

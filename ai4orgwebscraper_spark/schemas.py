@@ -99,8 +99,12 @@ SEEN = T.StructType(
 )
 
 # --- raw fetch+parse output of one round (pre-split into log/docs/links) ---
+# seq/fetched_at_ms are assigned BEFORE the fetch on the slim frontier
+# (order is a pure function of explicit keys — SURVEY.md §3.4) and pass
+# through the UDF, so no global operation ever touches fat span rows.
 FETCH_RESULT = T.StructType(
     [
+        T.StructField("seq", T.LongType(), False),
         T.StructField("url_hash", T.StringType(), False),
         T.StructField("url", T.StringType(), False),
         T.StructField("host", T.StringType(), False),

@@ -146,6 +146,26 @@ def page_for(raw_url: str) -> SyntheticPage:
     return page
 
 
+def distributed_seed_urls(spark, n: int):
+    """Bench-scale seed generation as pure column expressions —
+    spark.range + hash math, no driver-side list (the Spark analog of
+    the reference's index-keyed generator, linkedin_api.py:69-115).
+    Same skew profile as seed_urls (~40% on the hot host)."""
+    from pyspark.sql import functions as F
+
+    pick = F.pmod(F.xxhash64(F.concat(F.lit("hostpick|"), F.col("id"))), F.lit(100))
+    host = F.when(pick < 40, F.lit(SKEW_HOST)).otherwise(
+        F.concat(F.lit("host"), F.pmod(pick, F.lit(N_HOSTS)), F.lit(".example.com"))
+    )
+    return spark.range(n).select(
+        F.col("id").alias("seed_rank"),
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"),
+            F.substring(F.md5(F.concat(F.lit("dseed|"), F.col("id"))), 1, 12),
+        ).alias("url"),
+    )
+
+
 def default_hosts() -> list[dict]:
     """Per-host politeness state (FIXTURES.md §1 `hosts`): 3.0 rps
     default — the reference's global rate (web_scraper.py:18-19)

@@ -1,0 +1,72 @@
+"""Semantic dedup tests on planted duplicates (beyond oracle parity:
+these check the operators actually FIND duplicates)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai4orgwebscraper_spark.operators import dedup, text
+
+
+@pytest.fixture(scope="module")
+def planted_sf(spark, tmp_path_factory):
+    """A documents table with exact dups, near-dups, and unrelated docs."""
+    base = "spark frontier crawl fetch parse span media queue host token"
+    near = "spark frontier crawl fetch parse span media queue host bucket"  # 1 word off
+    rows = [
+        (0, base, "en", "srcA", len(base)),
+        (1, base, "en", "srcA", len(base)),  # exact dup of 0
+        (2, near, "en", "srcA", len(near)),  # near dup of 0
+        (3, "completely different words entirely unrelated content here", "en", "srcA", 55),
+        (4, base.upper(), "en", "srcA", len(base)),  # case-normalized dup of 0
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path_factory.mktemp("planted")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_exact_dedup_finds_planted(spark, planted_sf):
+    out = dedup.q_dedup_exact(spark, planted_sf).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 3  # 0, 1, and the case-variant 4
+    assert out[0]["keeper_doc_id"] == 0
+
+
+def test_minhash_lsh_finds_near_dup(spark, planted_sf):
+    out = dedup.q_dedup_minhash_lsh(spark, planted_sf).collect()
+    cands = {(r["doc_a"], r["min_doc_b"], r["max_doc_b"], r["n_candidates"]) for r in out}
+    by_a = {r["doc_a"]: r for r in out}
+    # doc 0 must be a candidate with its near-dup 2 (9/11 shared tokens)
+    assert 0 in by_a, cands
+    assert by_a[0]["max_doc_b"] >= 2
+    # the unrelated doc 3 must NOT collide with anything
+    assert 3 not in by_a
+    assert all(r["max_doc_b"] != 3 for r in out)
+
+
+def test_simhash_near_dups_close(spark, planted_sf):
+    rows = {r["doc_id"]: r["simhash16"] for r in dedup.q_dedup_simhash(spark, planted_sf).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert rows[0] == rows[1] == rows[4]  # exact dups -> identical simhash
+    assert hamming(rows[0], rows[2]) <= 6  # near dup -> close
+    assert hamming(rows[0], rows[3]) >= hamming(rows[0], rows[2])
+
+
+def test_ngram_jaccard_stats(spark, planted_sf):
+    out = dedup.q_dedup_ngram_jaccard(spark, planted_sf).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["source"] == "srcA"
+    assert row["n_dup_pairs"] >= 3  # (0,1), (0,4), (1,4) are identical
+    assert row["max_jaccard"] == 1.0
+
+
+def test_fingerprint_matches_text_module(spark, planted_sf):
+    fp = text.q_doc_fingerprint(spark, planted_sf)
+    dups = fp.filter(F.col("n_docs") > 1).collect()
+    assert len(dups) == 1 and dups[0]["n_docs"] == 3

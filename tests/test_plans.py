@@ -1,0 +1,68 @@
+"""Physical-plan assertions — the scale contract, checked in CI:
+pushdown reaches parquet, small dims broadcast, no single-partition
+global windows in the engine's sequencing path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai4orgwebscraper_spark.operators.relational import (
+    q6_forecast_revenue,
+    q_region_rollup,
+)
+from ai4orgwebscraper_spark.plans import with_global_seq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q6_filters_push_to_parquet(spark):
+    plan = _physical(q6_forecast_revenue(spark, SF))
+    assert "PushedFilters: [" in plan
+    # at least the discount/quantity predicates must push down
+    assert "GreaterThanOrEqual(l_discount" in plan or "l_discount" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q6_prunes_columns(spark):
+    plan = _physical(q6_forecast_revenue(spark, SF))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the needed columns are read — not the 11-column lineitem
+    assert "l_extendedprice" in read_schema and "l_discount" in read_schema
+    assert "l_returnflag" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_region_rollup_broadcasts_dims(spark):
+    plan = _physical(q_region_rollup(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation AND region broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_q6_uses_whole_stage_codegen(spark):
+    df = q6_forecast_revenue(spark, SF)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = _physical(df)
+    assert "isFinalPlan=true" in plan
+    # whole-stage-codegen'd operators are starred `*(n)` in the plan
+    assert "*(1) HashAggregate" in plan or "WholeStageCodegen" in plan
+
+
+def test_global_seq_correct_and_distributed(spark):
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 2654435761 % 9973).alias("key"), F.col("id").alias("payload")
+    ).repartition(16)
+    out = with_global_seq(df, ["key", "payload"], seq_col="seq", offset=7)
+    rows = out.orderBy("seq").collect()
+    assert [r["seq"] for r in rows] == list(range(7, 7 + 10_000))
+    keys = [(r["key"], r["payload"]) for r in rows]
+    assert keys == sorted(keys)
+    # the plan must NOT collapse to a single-partition global window
+    plan = _physical(out)
+    assert "SinglePartition" not in plan

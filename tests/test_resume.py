@@ -1,0 +1,64 @@
+"""Checkpoint/resume bit-identity (north rule; SURVEY.md C8):
+kill after round k, resume from snapshot, final tables equal the
+uninterrupted run exactly.
+"""
+
+from __future__ import annotations
+
+from ai4orgwebscraper_spark.frontier.engine import CrawlEngine
+from ai4orgwebscraper_spark.sources.corpus import default_hosts, seed_urls
+
+
+def _kwargs():
+    return dict(hosts=default_hosts(), max_depth=1, round_seconds=10.0)
+
+
+def _log_tuples(out):
+    return [
+        (r["seq"], r["round"], r["url"], r["status"], r["fetched_at_ms"])
+        for r in out.fetch_log.orderBy("seq").collect()
+    ]
+
+
+def _seen_tuples(out):
+    return sorted(
+        (r["url_hash"], r["first_seen_round"], r["multiplicity"])
+        for r in out.seen.collect()
+    )
+
+
+def test_kill_resume_bit_identical(spark, tmp_path):
+    seeds = seed_urls(40)
+
+    # uninterrupted run (no checkpointing)
+    full_engine = CrawlEngine(spark, max_rounds=50, **_kwargs())
+    full = full_engine.run(full_engine.seeds_from_list(seeds))
+    want_log, want_seen = _log_tuples(full), _seen_tuples(full)
+
+    # "killed" run: stop after 2 rounds, snapshots on disk
+    ckpt = str(tmp_path / "ckpt")
+    killed = CrawlEngine(spark, max_rounds=2, checkpoint_dir=ckpt, **_kwargs())
+    partial = killed.run(killed.seeds_from_list(seeds))
+    assert len(_log_tuples(partial)) < len(want_log)
+
+    # resume from the snapshot; seeds argument must be ignored
+    resumed_engine = CrawlEngine(spark, max_rounds=50, checkpoint_dir=ckpt, **_kwargs())
+    resumed = resumed_engine.run(resumed_engine.seeds_from_list(seeds))
+
+    assert _log_tuples(resumed) == want_log
+    assert _seen_tuples(resumed) == want_seen
+    docs_full = {r["doc_id"] for r in full.documents.collect()}
+    docs_resumed = {r["doc_id"] for r in resumed.documents.collect()}
+    assert docs_resumed == docs_full
+
+
+def test_incomplete_snapshot_is_ignored(spark, tmp_path):
+    """A round dir without manifest.json (crash mid-write) must not be
+    loaded."""
+    import os
+
+    from ai4orgwebscraper_spark.frontier import checkpoint as ckpt_mod
+
+    base = str(tmp_path / "ckpt2")
+    os.makedirs(os.path.join(base, "round=5"))
+    assert ckpt_mod.load_latest(spark, base) is None

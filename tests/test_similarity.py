@@ -1,0 +1,60 @@
+"""Similarity-search semantics on planted vectors."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_sf(spark, tmp_path_factory):
+    """Embeddings where vec 1 is nearly identical to the query (vec 0),
+    vec 2 is its exact opposite, the rest quasi-random."""
+    import math
+
+    dim = 8
+    def unit(seed):
+        vals = [math.sin(seed * 13.7 + i * 2.9) for i in range(dim)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    q = unit(1)
+    near = [v * 0.999 + 0.001 for v in q]
+    opposite = [-v for v in q]
+    rows = [(0, q, 0), (1, near, 0), (2, opposite, 0)]
+    rows += [(i, unit(i * 7 + 3), i % 3) for i in range(3, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = tmp_path_factory.mktemp("planted_emb")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_bruteforce_topk_finds_planted(spark, planted_sf):
+    from ai4orgwebscraper_spark.operators.similarity import q_knn_bruteforce
+
+    rows = q_knn_bruteforce(spark, planted_sf).collect()
+    assert rows[0]["vec_id"] == 1  # the planted near-identical vector
+    assert rows[0]["cosine"] > 0.99
+    assert rows[-1]["cosine"] >= min(r["cosine"] for r in rows)  # sorted desc
+    assert all(r["vec_id"] != 0 for r in rows)  # query excluded
+
+
+def test_lsh_bucket_contains_near_vector(spark, planted_sf):
+    from ai4orgwebscraper_spark.operators.similarity import q_knn_lsh
+
+    rows = q_knn_lsh(spark, planted_sf).collect()
+    # sign-bucket of the near-identical vector equals the query's
+    assert rows and rows[0]["vec_id"] == 1
+    # the opposite vector lands in the complementary bucket
+    assert all(r["vec_id"] != 2 for r in rows)
+
+
+def test_lsh_subset_of_bruteforce_candidates(spark, planted_sf):
+    from ai4orgwebscraper_spark.operators.similarity import (
+        q_knn_bruteforce,
+        q_knn_lsh,
+    )
+
+    bf = {r["vec_id"]: r["cosine"] for r in q_knn_bruteforce(spark, planted_sf).collect()}
+    for r in q_knn_lsh(spark, planted_sf).collect():
+        if r["vec_id"] in bf:
+            assert abs(bf[r["vec_id"]] - r["cosine"]) < 1e-9

@@ -1,0 +1,68 @@
+"""Canonicalization parity + property tests (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ai4orgwebscraper_spark.functions import urls as U
+
+CASES = [
+    "http://example.com/a",
+    "https://example.com/a",
+    "example.com/a",
+    "  http://pad.example.com/x  ",
+    "   ",
+    "",
+    "HOST.example.com/UPPER/path",
+    "https://host0.example.com/p/abc?q=1#frag",
+]
+
+
+def test_spark_matches_python_twin(spark):
+    df = spark.createDataFrame([(c,) for c in CASES], "url string")
+    got = [
+        r["canon"]
+        for r in df.select(U.canonicalize_col(F.col("url")).alias("canon")).collect()
+    ]
+    want = [U.canonicalize_py(c) for c in CASES]
+    assert got == want
+
+
+def test_hash_and_host_match_python_twin(spark):
+    urls = [U.canonicalize_py(c) for c in CASES if U.canonicalize_py(c)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        U.url_hash_col(F.col("url")).alias("h"), U.host_col(F.col("url")).alias("host")
+    ).collect()
+    assert [r["h"] for r in rows] == [U.url_hash_py(u) for u in urls]
+    assert [r["host"] for r in rows] == [U.host_py(u) for u in urls]
+
+
+@given(st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent(raw):
+    once = U.canonicalize_py(raw)
+    if once is not None:
+        assert U.canonicalize_py(once) == once
+        assert once.startswith("https://")
+
+
+def test_resolve_outlink():
+    assert U.resolve_outlink_py("h.com", "/p/x") == "https://h.com/p/x"
+    assert U.resolve_outlink_py("h.com", "p/x") == "https://h.com/p/x"
+    assert U.resolve_outlink_py("h.com", "http://o.com/y") == "https://o.com/y"
+    assert U.resolve_outlink_py("h.com", "https://o.com/y") == "https://o.com/y"
+
+
+def test_resolve_outlink_spark_matches(spark):
+    pairs = [("h.com", "/p/x"), ("h.com", "p/x"), ("h.com", "http://o.com/y")]
+    df = spark.createDataFrame(pairs, "host string, href string")
+    got = [
+        r["u"]
+        for r in df.select(
+            U.resolve_outlink_col(F.col("host"), F.col("href")).alias("u")
+        ).collect()
+    ]
+    assert got == [U.resolve_outlink_py(h, x) for h, x in pairs]
