@@ -181,7 +181,53 @@ def q_supplier_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by key (SURVEY.md S7/P9: get_job_details /
+    pandas boolean-mask lookup, linkedin_api.py:453-463,
+    linkedin_app.py:198-201). Scale: a key-predicate scan —
+    pushdown makes it a near-noop over parquet row groups."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.filter(F.col("c_custkey").isin(1, 42, 100)).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    ).orderBy("c_custkey")
+
+
+def q_orders_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset pagination (SURVEY.md S6/O2: start/count offset paging,
+    linkedin_api.py:419-421, count capped at 100) — row_number over a
+    deterministic order + range filter, page 3 of size 25."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_orderdate"), F.col("o_orderkey"))
+    start, count = 50, min(25, 100)
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > start) & (F.col("rn") <= start + count))
+        .select("rn", "o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("rn")
+    )
+
+
+def q_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (engine extension — absent in the reference,
+    SURVEY.md §2.4 note; Spark/DuckDB both provide it natively)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
 QUERIES = {
+    "q_customer_lookup": q_customer_lookup,
+    "q_orders_paged": q_orders_paged,
+    "q_rollup_order_status": q_rollup_order_status,
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q_top_customers": q_top_customers,
@@ -194,6 +240,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_customer_lookup": """
+        SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        FROM customer WHERE c_custkey IN (1, 42, 100)
+        ORDER BY c_custkey
+    """,
+    "q_orders_paged": """
+        SELECT rn, o_orderkey, o_custkey, o_totalprice
+        FROM (
+            SELECT row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey) AS rn,
+                   o_orderkey, o_custkey, o_totalprice
+            FROM orders
+        )
+        WHERE rn > 50 AND rn <= 75
+        ORDER BY rn
+    """,
+    "q_rollup_order_status": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

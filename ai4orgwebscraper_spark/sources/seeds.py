@@ -1,0 +1,88 @@
+"""Seed ingestion sources (SURVEY.md S2/S3) + export sinks (K1/K3).
+
+Reproduces the reference's ingest contract: one URL per line, blanks
+skipped, order preserved via explicit rank, hard caps enforced as
+errors (file cap 100 — app_wrapper.py:129-133; manual cap 9 —
+app_wrapper.py:143-147). Order preservation uses a line-number rank
+computed distributedly, never partition iteration order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai4orgwebscraper_spark import schemas
+
+FILE_SEED_CAP = 100  # reference app_wrapper.py:129
+MANUAL_SEED_CAP = 9  # reference app_wrapper.py:143
+
+
+class SeedCapExceeded(ValueError):
+    pass
+
+
+def seeds_from_text_file(spark: SparkSession, path: str, cap: int = FILE_SEED_CAP) -> DataFrame:
+    """One URL per line; blank lines skipped; >cap lines is a hard
+    error (the reference refuses, not truncates)."""
+    lines = (
+        spark.read.text(path)
+        .select(F.trim("value").alias("url"))
+        .filter(F.col("url") != "")
+    )
+    n = lines.count()
+    if n > cap:
+        raise SeedCapExceeded(f"seed file has {n} URLs; cap is {cap}")
+    # seed_rank = original line order; zipWithIndex preserves file order
+    ranked = lines.rdd.zipWithIndex().map(lambda t: (t[1], t[0]["url"]))
+    return spark.createDataFrame(ranked, schema=schemas.SEEDS)
+
+
+def seeds_from_manual_entry(spark: SparkSession, text: str, cap: int = MANUAL_SEED_CAP) -> DataFrame:
+    urls = [u.strip() for u in text.splitlines() if u.strip()]
+    if len(urls) > cap:
+        raise SeedCapExceeded(f"manual entry has {len(urls)} URLs; cap is {cap}")
+    return spark.createDataFrame(list(enumerate(urls)), schema=schemas.SEEDS)
+
+
+def export_results(df: DataFrame, out_dir: str, formats: tuple[str, ...] = ("parquet",)) -> dict:
+    """Export sink (reference K3: JSON/CSV/TXT downloads, app.py:375-424)
+    — schema-enforced table writes instead of the reference's
+    header-drift CSV append (web_scraper.py:59-62). CSV/JSON flatten
+    nested columns first (F20 dict-flatten, app.py:388-404)."""
+    written = {}
+    for fmt in formats:
+        path = f"{out_dir}/{fmt}"
+        if fmt == "parquet":
+            df.write.mode("overwrite").parquet(path)
+        elif fmt == "json":
+            df.write.mode("overwrite").json(path)
+        elif fmt == "csv":
+            flat = flatten_for_csv(df)
+            flat.write.mode("overwrite").option("header", True).csv(path)
+        else:
+            raise ValueError(f"unsupported format {fmt!r}")
+        written[fmt] = path
+    return written
+
+
+def flatten_for_csv(df: DataFrame) -> DataFrame:
+    """CSV-safe projection: structs expand to field_k columns, arrays
+    join to comma strings (the reference's flatten, app.py:388-404)."""
+    cols = []
+    for field in df.schema.fields:
+        t = field.dataType.typeName()
+        if t == "struct":
+            for sub in field.dataType.fields:
+                cols.append(F.col(f"{field.name}.{sub.name}").cast("string").alias(f"{field.name}_{sub.name}"))
+        elif t == "array":
+            elem = field.dataType.elementType.typeName()
+            if elem in ("struct", "array", "map"):
+                cols.append(F.to_json(F.col(field.name)).alias(field.name))
+            else:
+                cols.append(F.array_join(F.col(field.name).cast("array<string>"), ",").alias(field.name))
+        elif t == "map":
+            cols.append(F.to_json(F.col(field.name)).alias(field.name))
+        else:
+            cols.append(F.col(field.name))
+    return df.select(*cols)
