@@ -32,12 +32,15 @@ def save_round(
     seen: DataFrame,
     fetch_log_cum: DataFrame,
     documents_cum: DataFrame,
+    extra_manifest: dict | None = None,
 ) -> None:
     rd = os.path.join(base_dir, f"round={rnd}")
     frames = dict(frontier=frontier, seen=seen, fetch_log=fetch_log_cum, documents=documents_cum)
     for name in TABLES:
         frames[name].write.mode("overwrite").parquet(os.path.join(rd, name))
     manifest = {"round": rnd, "seq_counter": seq_counter, "tables": list(TABLES)}
+    if extra_manifest:
+        manifest.update({k: v for k, v in extra_manifest.items() if v is not None})
     tmp = os.path.join(rd, "manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)

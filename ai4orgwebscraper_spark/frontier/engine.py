@@ -55,6 +55,37 @@ class CrawlOutputs:
     metrics: dict = field(default_factory=dict)
 
 
+def fetch_metrics(results: DataFrame) -> dict:
+    """Per-partition lineage + per-host fetch/parse metrics for one
+    round (north rule: 'per-partition lineage and fetch/parse metrics
+    logged'). One small aggregation job over the materialized round."""
+    per_host = {
+        r["host"]: {
+            "fetched": r["fetched"],
+            "ok": r["ok"],
+            "errors": r["errors"],
+            "avg_latency_ms": round(r["avg_latency_ms"], 2),
+            "spans": r["spans"],
+        }
+        for r in results.groupBy("host")
+        .agg(
+            F.count("*").alias("fetched"),
+            F.count(F.when(F.col("status") == 200, 1)).alias("ok"),
+            F.count(F.when(F.col("status") != 200, 1)).alias("errors"),
+            F.avg("latency_ms").alias("avg_latency_ms"),
+            F.sum(F.coalesce(F.size("spans"), F.lit(0))).alias("spans"),
+        )
+        .collect()
+    }
+    partitions = {
+        str(r["pid"]): r["rows"]
+        for r in results.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    }
+    return {"per_host": per_host, "partitions": partitions}
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -67,6 +98,7 @@ class CrawlEngine:
         reference_mode: bool = False,
         checkpoint_dir: str | None = None,
         salt_buckets: int | None = None,
+        collect_metrics: bool = False,
     ):
         self.spark = spark
         self.hosts_rows = hosts if hosts is not None else default_hosts()
@@ -77,6 +109,7 @@ class CrawlEngine:
         self.reference_mode = reference_mode
         self.checkpoint_dir = checkpoint_dir
         self.salt_buckets = salt_buckets
+        self.collect_metrics = collect_metrics
         self.hosts_df = spark.createDataFrame(self.hosts_rows, schema=schemas.HOSTS)
 
     # ------------------------------------------------------------------
@@ -127,9 +160,14 @@ class CrawlEngine:
     def _run_reference(self, seeds: DataFrame) -> CrawlOutputs:
         # seq + simulated clock are pure functions of seed order, so
         # they're assigned on the SLIM frontier and carried through the
-        # fetch — no global op ever touches fat span rows.
+        # fetch — no global op ever touches fat span rows. Every seed
+        # source (file zipWithIndex, createDataFrame, spark.range) emits
+        # rows already in seed_rank order, so the range shuffle is
+        # skipped (assume_sorted).
         gap_ms = 1000.0 / self.default_rps
-        frontier = with_global_seq(self._canonical_seeds(seeds), ["seed_rank"], seq_col="seq")
+        frontier = with_global_seq(
+            self._canonical_seeds(seeds), ["seed_rank"], seq_col="seq", assume_sorted=True
+        )
         frontier = frontier.withColumn(
             "fetched_at_ms", F.floor(F.col("seq") * F.lit(gap_ms)).cast("long")
         )
@@ -186,6 +224,7 @@ class CrawlEngine:
             )
 
         rounds_done = start_round
+        round_metrics: dict[str, dict] = {}
         for rnd in range(start_round, self.max_rounds):
             frontier = frontier.localCheckpoint(eager=True)
             if frontier.isEmpty():
@@ -217,6 +256,8 @@ class CrawlEngine:
                 break
             seq_counter += n_fetched
             rounds_done = rnd + 1
+            if self.collect_metrics:
+                round_metrics[str(rnd)] = fetch_metrics(results)
 
             fetch_log_cum = fetch_log_cum.unionByName(results.select(*FETCH_LOG_COLS))
             documents_cum = documents_cum.unionByName(
@@ -293,12 +334,13 @@ class CrawlEngine:
                 ckpt.save_round(
                     self.checkpoint_dir, rnd, seq_counter, frontier, seen,
                     fetch_log_cum, documents_cum,
+                    extra_manifest={"metrics": round_metrics.get(str(rnd))},
                 )
 
         documents = documents_cum.dropDuplicates(["doc_id"])
         return CrawlOutputs(
             fetch_log_cum, documents, seen,
-            {"rounds": rounds_done, "fetched": seq_counter},
+            {"rounds": rounds_done, "fetched": seq_counter, "round_metrics": round_metrics},
         )
 
 

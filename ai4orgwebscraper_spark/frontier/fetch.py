@@ -2,7 +2,7 @@
 reference's one-network-call-per-row loop (reference
 app_wrapper.py:165-168 calling web_scraper.py:8-54 per URL).
 
-``fetch_and_parse`` is a ``mapInPandas`` stage: an iterator of Arrow
+``fetch_map_fn`` is a ``mapInPandas`` stage: an iterator of Arrow
 batches of admitted frontier rows in, an iterator of batches of
 (status, error, title, spans, outlinks) out. No per-row Python at the
 DataFrame layer (BASELINE.json:input_hint); inside the batch the
@@ -10,6 +10,11 @@ synthetic ``page_for`` generator stands in for the network — in
 production this body would issue pipelined async HTTP per batch, with
 a per-executor connection pool (the per-partition analog of the
 reference's ``requests.Session`` reuse, web_scraper_js.py:26).
+
+The batch body builds COLUMNS, not row dicts — on this data path the
+worker's allocation rate is the scaling bottleneck (kernel time from
+malloc/socket churn), so per-row object creation is kept to the span
+structs Arrow itself requires.
 """
 
 from __future__ import annotations
@@ -19,43 +24,57 @@ from collections.abc import Iterator
 import pandas as pd
 
 from ai4orgwebscraper_spark import schemas
-from ai4orgwebscraper_spark.sources.corpus import page_for
+from ai4orgwebscraper_spark.sources.corpus import page_from_parts
+
+_COLS = [f.name for f in schemas.FETCH_RESULT.fields]
 
 
 def _fetch_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    rows = []
-    for seq, url, url_hash, host, depth, rank, fetched_at in zip(
-        pdf["seq"], pdf["url"], pdf["url_hash"], pdf["host"], pdf["depth"],
-        pdf["seed_rank"], pdf["fetched_at_ms"],
-    ):
-        page = page_for(url)
-        rows.append(
-            {
-                "seq": int(seq),
-                "url_hash": url_hash,
-                "url": url,
-                "host": host,
-                "depth": int(depth),
-                "seed_rank": int(rank),
-                "status": page.status,
-                "error": page.error,
-                "title": page.title,
-                "latency_ms": page.latency_ms,
-                "fetched_at_ms": int(fetched_at),
-                "spans": [
+    statuses, errors, titles, lats, spans_col, links_col = [], [], [], [], [], []
+    for url, uh, host in zip(pdf["url"], pdf["url_hash"], pdf["host"]):
+        page = page_from_parts(url, uh, host)
+        statuses.append(page.status)
+        errors.append(page.error)
+        titles.append(page.title)
+        lats.append(page.latency_ms)
+        if page.status == 200:
+            spans_col.append(
+                [
                     {"kind": k, "text": t, "media_ref": m, "offset": o}
                     for (k, t, m, o) in page.spans
                 ]
-                if page.status == 200
-                else None,
-                "outlinks": page.outlinks if page.status == 200 else None,
-            }
-        )
-    return pd.DataFrame(rows, columns=[f.name for f in schemas.FETCH_RESULT.fields])
+            )
+            links_col.append(page.outlinks)
+        else:
+            spans_col.append(None)
+            links_col.append(None)
+    return pd.DataFrame(
+        {
+            "seq": pdf["seq"].values,
+            "url_hash": pdf["url_hash"].values,
+            "url": pdf["url"].values,
+            "host": pdf["host"].values,
+            "depth": pdf["depth"].values,
+            "seed_rank": pdf["seed_rank"].values,
+            "status": statuses,
+            "error": errors,
+            "title": titles,
+            "latency_ms": lats,
+            "fetched_at_ms": pdf["fetched_at_ms"].values,
+            "spans": spans_col,
+            "outlinks": links_col,
+        },
+        columns=_COLS,
+    )
 
 
 def fetch_map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
+    # Drain the input stream BEFORE yielding any output: a worker that
+    # writes output while the JVM is still streaming input can deadlock
+    # on mutual socket backpressure (worker wedged in tcp_sendmsg, JVM
+    # writer blocked, observed on multi-million-row stages). Partition
+    # sizing bounds the buffer (2x-parallelism partitions -> ~100k rows
+    # per task).
+    pending = [pdf for pdf in batches if len(pdf) > 0]
+    for pdf in pending:
         yield _fetch_batch(pdf)

@@ -2,15 +2,19 @@
 
 The naive ``row_number().over(Window.orderBy(...))`` collapses the
 whole DataFrame into ONE partition — a driver-killing bottleneck at
-10^10 rows. This helper assigns a dense global sequence in three
-distributed steps:
+10^10 rows. This helper assigns a dense global sequence with the
+classic two-phase pattern, no global shuffle and no global sort:
 
-1. range-repartition by the explicit order keys (Spark samples key
-   ranges, so partitions are balanced and partition id order == key
-   order);
-2. count rows per physical partition (tiny aggregate, collected to
-   the driver: P values);
-3. per-partition row_number + the partition's cumulative offset.
+1. range-repartition + sort within partitions by the explicit order
+   keys (skippable via ``assume_sorted`` when the input is already
+   globally ordered, e.g. a ``spark.range``-derived frontier);
+2. stamp ``monotonically_increasing_id`` — documented layout
+   ``(partition_id << 33) + row_index_in_partition`` — and pin the
+   layout with a columnar persist;
+3. count rows per partition (tiny aggregate collected to the driver),
+   prefix-sum the offsets, and compute
+   ``seq = offset[partition_id] + row_index`` as a narrow projection
+   via a broadcast join on the 1-row-per-partition offset table.
 
 Determinism requires the order keys to be a total order (include a
 unique tie-breaker column). This is the engine's replacement for
@@ -21,8 +25,10 @@ partition iteration (SURVEY.md §3.4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_MID_BITS = 33  # monotonically_increasing_id: pid << 33 | row_index
 
 
 def with_global_seq(
@@ -31,31 +37,37 @@ def with_global_seq(
     seq_col: str = "seq",
     offset: int = 0,
     num_partitions: int | None = None,
+    assume_sorted: bool = False,
 ) -> DataFrame:
-    """Add a dense 0-based global sequence column ordered by ``order_cols``."""
+    """Add a dense 0-based (plus ``offset``) global sequence column
+    ordered by ``order_cols``.
+
+    ``assume_sorted=True`` skips the range shuffle: the caller asserts
+    the input is already globally ordered by ``order_cols`` (partition
+    i's keys all precede partition i+1's, rows sorted within each) —
+    true for frontiers derived from ``spark.range`` by narrow ops.
+    """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    if not assume_sorted:
+        df = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
+            *order_cols
+        )
+    base = df.withColumn("__mid", F.monotonically_increasing_id()).persist()
+    pid = F.shiftrightunsigned(F.col("__mid"), _MID_BITS).alias("__pid")
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in base.select(pid).groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], offset
+    for p in sorted(counts):
+        offsets.append((p, acc))
+        acc += counts[p]
+    offset_df = df.sparkSession.createDataFrame(offsets, "__pid long, __offset long")
+    row_idx = F.col("__mid") - F.shiftleft(F.col("__pid"), _MID_BITS)
+    return (
+        base.withColumn("__pid", F.shiftrightunsigned(F.col("__mid"), _MID_BITS))
+        .join(F.broadcast(offset_df), "__pid")
+        .withColumn(seq_col, F.col("__offset") + row_idx)
+        .drop("__pid", "__offset", "__mid")
     )
-    # Pin the physical layout so the partition ids seen by the count job
-    # and by the final projection agree. Columnar persist (not
-    # localCheckpoint — Java-serialized RDD materialization is ~10x
-    # slower) is safe here: inputs are deterministic, and range
-    # boundaries resample identically on any recompute.
-    ranged = ranged.persist()
-    counts = {r["__pid"]: r["cnt"] for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, offset
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_df = df.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
-    )
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
-    out = (
-        ranged.join(F.broadcast(offset_df), "__pid")
-        .withColumn(seq_col, F.row_number().over(w) - 1 + F.col("__offset"))
-        .drop("__pid", "__offset")
-    )
-    return out

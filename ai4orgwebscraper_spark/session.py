@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Worker reuse stays ON (fresh workers pay a pandas-import tax
+        # per task). The mapInPandas socket-backpressure deadlock this
+        # can trigger on multi-million-row stages is avoided structurally
+        # in fetch_map_fn: drain input before writing output.
+        .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # broadcast anything under 64MB — dimension tables (hosts,

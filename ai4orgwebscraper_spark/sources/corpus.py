@@ -37,6 +37,20 @@ def _h64(s: str, salt: str = "") -> int:
     return int.from_bytes(hashlib.md5(f"{salt}|{s}".encode()).digest()[:8], "big")
 
 
+_M64 = (1 << 64) - 1
+
+
+def _mix(x: int) -> int:
+    """splitmix64 finalizer: cheap deterministic 64-bit stream expander
+    (public-domain constant set). Lets page_for derive a whole page
+    from ONE md5 digest instead of one hash call per field — the fetch
+    worker's per-URL cost budget matters at 10^10 scale."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
 @dataclass
 class SyntheticPage:
     url: str
@@ -85,17 +99,46 @@ def seed_urls(n: int) -> list[str]:
     return out
 
 
-def _words(h: int, n: int, salt: int) -> str:
-    return " ".join(_VOCAB[(h >> ((i + salt) % 48)) % len(_VOCAB)] for i in range(n))
+def _build_phrases(n: int = 1024) -> list[str]:
+    """Deterministic phrase pool built once at import: paragraph text
+    is a pool lookup instead of per-word hashing (the fetch worker's
+    per-URL budget matters at 10^10 scale; pool size keeps content
+    varied enough for the dedup operators)."""
+    out = []
+    s = 0x5EEDF00D
+    for _ in range(n):
+        s = _mix(s)
+        k = 5 + s % 12
+        words = []
+        for _ in range(k):
+            s = _mix(s)
+            words.append(_VOCAB[s % len(_VOCAB)])
+        out.append(" ".join(words))
+    return out
+
+
+_PHRASES = _build_phrases()
 
 
 def page_for(raw_url: str) -> SyntheticPage:
-    """Generate the page behind a URL. Pure; identical everywhere."""
+    """Generate the page behind a URL. Pure; identical everywhere.
+
+    One md5 of the canonical URL seeds a splitmix64 stream; every field
+    (status, latency, paragraphs, interleaved media refs, outlinks)
+    derives from that stream — the same mock-data idea as the
+    reference's index-keyed generator (linkedin_api.py:69-115) with its
+    Date.now() nondeterminism (linkedin_api.py:71) removed.
+    """
     canon = canonicalize_py(raw_url)
     assert canon is not None
-    uh = url_hash_py(canon)
-    host = host_py(canon)
-    h = _h64(canon, "page")
+    return page_from_parts(canon, url_hash_py(canon), host_py(canon))
+
+
+def page_from_parts(canon: str, uh: str, host: str) -> SyntheticPage:
+    """Fast path when the caller already has the canonical URL, its
+    md5 key and host (the frontier row carries all three — the fetch
+    stage must not re-derive them per row)."""
+    h = int(uh[:16], 16)  # first 8 bytes of the md5 already computed
 
     status_roll = h % 100
     if status_roll < 80:
@@ -119,14 +162,17 @@ def page_for(raw_url: str) -> SyntheticPage:
     page.title = f"Page {uh[:8]}"
     n_paras = 1 + (h >> 16) % 6
     offset = 0
+    s = _mix(h)
     spans: list[tuple[str, str | None, str | None, int]] = []
-    for p in range(n_paras):
-        ph = _h64(canon, f"para{p}")
-        text = _words(ph, 5 + ph % 12, p)
+    for _p in range(n_paras):
+        s = _mix(s)
+        ph = s
+        text = _PHRASES[ph % len(_PHRASES)]
         spans.append(("text", text, None, offset))
         offset += 1
         if (ph >> 4) % 3 == 0:  # interleave a media_ref after ~1/3 of paras
-            img = f"/img/{hashlib.md5(f'{canon}|img{p}'.encode()).hexdigest()[:8]}.png"
+            s = _mix(s)
+            img = f"/img/{s:016x}"[:13] + ".png"
             alt = _VOCAB[(ph >> 8) % len(_VOCAB)]
             spans.append(("media_ref", alt, img, offset))
             offset += 1
@@ -134,10 +180,12 @@ def page_for(raw_url: str) -> SyntheticPage:
 
     n_links = (h >> 24) % 5
     links: list[str] = []
-    for k in range(n_links):
-        lh = _h64(canon, f"link{k}")
+    for _k in range(n_links):
+        s = _mix(s)
+        lh = s
         target_host = SKEW_HOST if lh % 100 < 40 else f"host{lh % N_HOSTS}.example.com"
-        slug = hashlib.md5(f"{canon}|out{k}".encode()).hexdigest()[:10]
+        s = _mix(s)
+        slug = f"{s:016x}"[:10]
         if lh % 3 == 0:
             links.append(f"/p/{slug}")  # relative — resolved against page host
         else:
