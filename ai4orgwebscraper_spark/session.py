@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # shuffle spill to tmpfs: local-mode shuffles write to disk,
+        # which does not scale with cores; RAM-backed shuffle keeps the
+        # scaling bench measuring the ENGINE, not /dev/vda
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
         # broadcast anything under 64MB — dimension tables (hosts,
         # nation, region) should never shuffle
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
