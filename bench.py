@@ -167,9 +167,10 @@ def main_scaling(n_urls: int, repeats: int = 3) -> None:
     run-to-run noise from steal).
     """
     probe = _cpu_capacity_probe()
-    # each pair runs BOTH legs on the identical input; the 2v8 pair uses
-    # half the URL count to keep the 2-core wall time sane
-    pairs = [(2, 8, repeats, n_urls // 2), (8, 32, 2, n_urls)]
+    # each pair runs BOTH legs on the identical input; the full n keeps
+    # per-leg fixed costs (~7s of driver sync + stage setup) under 5% of
+    # the small leg's wall time
+    pairs = [(2, 8, repeats, n_urls), (8, 32, 2, n_urls)]
     results: dict[int, dict] = {}
     all_runs: dict[int, list[float]] = {}
     pair_best: dict[tuple[int, int], dict[int, float]] = {}
