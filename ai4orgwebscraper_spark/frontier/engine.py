@@ -55,6 +55,34 @@ class CrawlOutputs:
     metrics: dict = field(default_factory=dict)
 
 
+def frontier_telemetry(frontier: DataFrame, seen: DataFrame) -> dict:
+    """Cardinality + skew telemetry (SURVEY.md §2.4 note): HLL distinct
+    estimates for frontier/seen (exact counts are a full shuffle at
+    10^10 rows; approx_count_distinct is one pass, mergeable) and the
+    per-host histogram used to size salting."""
+    f = frontier.agg(
+        F.approx_count_distinct("url_hash").alias("approx_urls"),
+        F.approx_count_distinct("host").alias("approx_hosts"),
+        F.count("*").alias("rows"),
+    ).collect()[0]
+    top_hosts = [
+        (r["host"], r["n"])
+        for r in frontier.groupBy("host")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "host")
+        .limit(10)
+        .collect()
+    ]
+    s = seen.agg(F.approx_count_distinct("url_hash").alias("approx_seen")).collect()[0]
+    return {
+        "frontier_rows": f["rows"],
+        "frontier_approx_urls": f["approx_urls"],
+        "frontier_approx_hosts": f["approx_hosts"],
+        "seen_approx_urls": s["approx_seen"],
+        "top_hosts": top_hosts,
+    }
+
+
 def fetch_metrics(results: DataFrame) -> dict:
     """Per-partition lineage + per-host fetch/parse metrics for one
     round (north rule: 'per-partition lineage and fetch/parse metrics

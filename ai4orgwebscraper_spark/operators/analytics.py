@@ -119,7 +119,23 @@ def q_event_type_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user-bucket event counts spread across event types
+    (engine extension; `.pivot()` in Spark, CASE-WHEN in the oracle —
+    same plan family Catalyst produces for both)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(5)))
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .orderBy("user_bucket")
+    )
+
+
 QUERIES = {
+    "q_pivot_value_by_type": q_pivot_value_by_type,
     "q_events_by_type": q_events_by_type,
     "q_events_hourly": q_events_hourly,
     "q_user_topk": q_user_topk,
@@ -129,6 +145,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_pivot_value_by_type": """
+        SELECT user_id % 5 AS user_bucket,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        FROM events GROUP BY 1 ORDER BY user_bucket
+    """,
     "q_events_by_type": """
         SELECT event_type, count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

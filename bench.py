@@ -11,9 +11,11 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 Scaling mode (BASELINE.md protocol — the sandbox proxy for N vs 4N
 executors):
     python bench.py --scaling
-runs the identical frontier job at local[8] and local[32] in separate
-processes and writes BENCH/BASELINE.md with both throughputs and the
-scaling efficiency (target >= 0.8).
+runs the identical frontier job on the identical input at taskset-pinned
+core budgets — primary pair 2 vs 8 cores (both below the shared host's
+oversubscription threshold), secondary 8 vs 32 with a hardware capacity
+probe — and writes BENCH/BASELINE.md with throughputs + efficiency
+(target >= 0.8).
 
 Internal single-run mode (used by --scaling via subprocess):
     python bench.py --crawl-only --cpus N --n-urls M

@@ -1,0 +1,22 @@
+"""Frontier cardinality/skew telemetry (approx_count_distinct path)."""
+
+from __future__ import annotations
+
+from ai4orgwebscraper_spark.frontier.engine import CrawlEngine, frontier_telemetry
+from ai4orgwebscraper_spark.sources.corpus import SKEW_HOST, default_hosts, seed_urls
+
+
+def test_frontier_telemetry(spark):
+    engine = CrawlEngine(spark, hosts=default_hosts(), max_depth=0, max_rounds=1)
+    seeds = engine.seeds_from_list(seed_urls(200))
+    canon = engine._canonical_seeds(seeds)
+    out = engine.run(seeds)
+    t = frontier_telemetry(canon, out.seen)
+    exact = canon.select("url_hash").distinct().count()
+    # HLL default rsd=5%; allow generous slack
+    assert abs(t["frontier_approx_urls"] - exact) <= max(3, exact * 0.15)
+    assert t["frontier_rows"] == canon.count()
+    assert 1 <= t["frontier_approx_hosts"] <= 30
+    # skew surfaced: the hot host tops the histogram (FIXTURES.md: ~40%)
+    assert t["top_hosts"][0][0] == SKEW_HOST
+    assert t["top_hosts"][0][1] > t["top_hosts"][1][1]
