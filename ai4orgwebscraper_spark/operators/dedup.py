@@ -53,38 +53,36 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, band_key) — the LSH bucketing table."""
+    """(doc_id, band, band_key) — the LSH bucketing table.
+
+    One pass, no row blowup: instead of cross-joining tokens with the
+    K seeds (Kx shuffle volume), the K minhashes are K min() aggregates
+    over the same exploded token stream — map-side partial mins shrink
+    the shuffle to |docs| x K values. Band keys then stack K/r columns
+    per doc (a tiny |docs|-row explode)."""
     toks = _distinct_tokens(spark, sf_dir)
-    seeds = spark.range(N_SEEDS).select(F.col("id").cast("int").alias("seed"))
-    mh = (
-        toks.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws("#", F.col("token"), F.col("seed"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    mins = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("#", F.col("token"), F.lit(s)))).alias(f"mh{s}")
+            for s in range(N_SEEDS)
+        ]
     )
-    return (
-        mh.withColumn("band", (F.col("seed") / SEEDS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("band").cast("string"),
-                    F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                            lambda s: s["mh"],
-                        ),
-                        ",",
-                    ),
-                )
-            ).alias("band_key")
+    band_cols = []
+    for band in range(N_SEEDS // SEEDS_PER_BAND):
+        members = [
+            F.col(f"mh{band * SEEDS_PER_BAND + j}") for j in range(SEEDS_PER_BAND)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws("|", F.lit(str(band)), F.concat_ws(",", *members))
+                ).alias("band_key"),
+            )
         )
-    )
+    return mins.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
