@@ -127,6 +127,7 @@ class CrawlEngine:
         checkpoint_dir: str | None = None,
         salt_buckets: int | None = None,
         collect_metrics: bool = False,
+        use_bloom_prefilter: bool = True,
     ):
         self.spark = spark
         self.hosts_rows = hosts if hosts is not None else default_hosts()
@@ -138,6 +139,7 @@ class CrawlEngine:
         self.checkpoint_dir = checkpoint_dir
         self.salt_buckets = salt_buckets
         self.collect_metrics = collect_metrics
+        self.use_bloom_prefilter = use_bloom_prefilter
         self.hosts_df = spark.createDataFrame(self.hosts_rows, schema=schemas.HOSTS)
 
     # ------------------------------------------------------------------
@@ -339,9 +341,23 @@ class CrawlEngine:
                      F.min("seed_rank").alias("seed_rank"))
             ).localCheckpoint(eager=True)
 
-            # enqueue first discoveries only (anti-join against seen —
-            # Spark's runtime bloom join prefilters this at scale)
-            new_urls = offer_counts.join(seen.select("url_hash"), "url_hash", "left_anti")
+            # enqueue first discoveries only. The partitioned bloom
+            # prefilter (frontier/bloom.py) splits candidates: bloom-
+            # absent rows are PROVABLY new (no false negatives) and skip
+            # the join entirely; only bloom-positive rows hit the exact
+            # anti-join (the authority). Result-transparent by
+            # construction — golden tests pass with it on or off.
+            if self.use_bloom_prefilter:
+                from ai4orgwebscraper_spark.frontier import bloom as B
+
+                flagged = B.prefilter_new(offer_counts, B.build_bloom(seen))
+                definitely_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+                maybe_seen_rows = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+                new_urls = definitely_new.unionByName(
+                    maybe_seen_rows.join(seen.select("url_hash"), "url_hash", "left_anti")
+                )
+            else:
+                new_urls = offer_counts.join(seen.select("url_hash"), "url_hash", "left_anti")
             frontier = rest.unionByName(
                 new_urls.select("url_hash", "url", "host", "depth", "seed_rank")
             )
