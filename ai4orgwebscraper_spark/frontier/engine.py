@@ -127,7 +127,7 @@ class CrawlEngine:
         checkpoint_dir: str | None = None,
         salt_buckets: int | None = None,
         collect_metrics: bool = False,
-        use_bloom_prefilter: bool = True,
+        use_bloom_prefilter: bool | str = "auto",
     ):
         self.spark = spark
         self.hosts_rows = hosts if hosts is not None else default_hosts()
@@ -347,7 +347,14 @@ class CrawlEngine:
             # the join entirely; only bloom-positive rows hit the exact
             # anti-join (the authority). Result-transparent by
             # construction — golden tests pass with it on or off.
-            if self.use_bloom_prefilter:
+            # "auto": the bloom build (count + applyInPandas + collect per
+            # round) only pays for itself once the seen set is large;
+            # below the threshold the plain anti-join is cheaper
+            bloom_on = (
+                self.use_bloom_prefilter is True
+                or (self.use_bloom_prefilter == "auto" and seq_counter > 200_000)
+            )
+            if bloom_on:
                 from ai4orgwebscraper_spark.frontier import bloom as B
 
                 flagged = B.prefilter_new(offer_counts, B.build_bloom(seen))
