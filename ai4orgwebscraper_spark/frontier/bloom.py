@@ -119,17 +119,22 @@ def build_bloom(
     )
 
 
-def prefilter_new(candidates: DataFrame, bloom: PartitionedBloom) -> DataFrame:
-    """Split candidates into definitely-new rows (bloom says absent —
-    NO exact join needed, bloom has no false negatives) vs maybe-seen
-    rows (must be confirmed by the exact anti-join). Returns candidates
-    with a ``__maybe_seen`` column."""
+def prefilter_new(
+    candidates: DataFrame, bloom: PartitionedBloom | list[PartitionedBloom]
+) -> DataFrame:
+    """Split candidates into definitely-new rows (every bloom says
+    absent — NO exact join needed, blooms have no false negatives) vs
+    maybe-seen rows (must be confirmed by the exact anti-join).
+    Accepts one bloom or a list of incremental round blooms (membership
+    = OR across them — the append-only delta-parts structure of the
+    seen set). Returns candidates with a ``__maybe_seen`` column."""
+    blooms = bloom if isinstance(bloom, list) else [bloom]
     spark = candidates.sparkSession
-    bc = spark.sparkContext.broadcast(bloom)
+    bc = spark.sparkContext.broadcast(blooms)
 
     @F.pandas_udf("boolean")
     def maybe_seen(url_hashes: pd.Series) -> pd.Series:
-        b = bc.value
-        return url_hashes.map(b.might_contain)
+        bs = bc.value
+        return url_hashes.map(lambda h: any(b.might_contain(h) for b in bs))
 
     return candidates.withColumn("__maybe_seen", maybe_seen(F.col("url_hash")))

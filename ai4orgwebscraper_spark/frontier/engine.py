@@ -32,6 +32,10 @@ Scale notes (the 1000-executor view):
 from __future__ import annotations
 
 import math
+import os
+import shutil
+import tempfile
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -140,6 +144,11 @@ class CrawlEngine:
         self.salt_buckets = salt_buckets
         self.collect_metrics = collect_metrics
         self.use_bloom_prefilter = use_bloom_prefilter
+        # tmpfs spill dir for iterative-state truncation (see _spill)
+        base = os.environ.get("SPARK_GRAFT_STATE_DIR") or (
+            "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        )
+        self._state_dir = tempfile.mkdtemp(prefix="crawl_state_", dir=base)
         self.hosts_df = spark.createDataFrame(self.hosts_rows, schema=schemas.HOSTS)
 
     # ------------------------------------------------------------------
@@ -162,6 +171,21 @@ class CrawlEngine:
                 F.col("seed_rank"),
             )
         )
+
+    def _spill(self, df: DataFrame, name: str, rnd: int, keep: bool = False) -> DataFrame:
+        """Truncate iterative lineage via a parquet round-trip on tmpfs.
+
+        A columnar parquet write+read truncates lineage like a
+        checkpoint at a fraction of localCheckpoint's Java-serialization
+        cost, and is exactly what the Iceberg-snapshot layer does in
+        production. Unless ``keep``, the spill from two rounds back is
+        deleted (current state references only the latest)."""
+        path = os.path.join(self._state_dir, f"{name}_{rnd}")
+        df.write.mode("overwrite").parquet(path)
+        if not keep:
+            old = os.path.join(self._state_dir, f"{name}_{rnd - 2}")
+            shutil.rmtree(old, ignore_errors=True)
+        return self.spark.read.parquet(path)
 
     def _salted_fetch(self, admitted: DataFrame) -> DataFrame:
         """Distribute the admitted batch for fetching: salt the host
@@ -235,30 +259,70 @@ class CrawlEngine:
         start_round, seq_counter = 0, 0
         fetch_log_cum = spark.createDataFrame([], schemas.FETCH_LOG)
         documents_cum = spark.createDataFrame([], schemas.DOCUMENTS)
+        # The seen set is APPEND-ONLY delta parts (one per round, spilled
+        # to parquet): re-aggregating the cumulative table every round is
+        # O(rounds x total) shuffle; deltas make each round O(delta) and
+        # the multiplicity/first-round aggregation runs ONCE at the end.
+        # (Iceberg shape: each delta is an append snapshot.)
         state = ckpt.load_latest(spark, self.checkpoint_dir) if self.checkpoint_dir else None
         if state is not None:
-            frontier, seen, fetch_log_cum, documents_cum, start_round, seq_counter = state
+            frontier, seen_loaded, fetch_log_cum, documents_cum, start_round, seq_counter = state
+            seen_parts = [seen_loaded]
         else:
             canon = self._canonical_seeds(seeds)
             # dedup seeds: first occurrence (min seed_rank) wins; every
             # occurrence counts toward multiplicity (oracle semantics)
-            seen = (
+            seed_delta = (
                 canon.groupBy("url_hash", "url")
                 .agg(F.count("*").alias("multiplicity"))
                 .select("url_hash", "url", F.lit(0).alias("first_seen_round"), "multiplicity")
             )
+            seen_parts = [self._spill(seed_delta, "seen_delta", -1, keep=True)]
             frontier = (
                 canon.groupBy("url_hash", "url", "host")
                 .agg(F.min("seed_rank").alias("seed_rank"), F.min("depth").alias("depth"))
                 .select("url_hash", "url", "host", "depth", "seed_rank")
             )
 
+        def _seen_keys() -> DataFrame:
+            out = seen_parts[0].select("url_hash")
+            for p in seen_parts[1:]:
+                out = out.unionByName(p.select("url_hash"))
+            return out
+
+        blooms: list = []
+        bloom_enabled = self.use_bloom_prefilter in (True, "auto")
+        if bloom_enabled:
+            from ai4orgwebscraper_spark.frontier import bloom as B
+
+            # incremental blooms: one per delta part, built from the
+            # small delta — never a full-seen rebuild
+            blooms = [B.build_bloom(p) for p in seen_parts]
+
         rounds_done = start_round
         round_metrics: dict[str, dict] = {}
+        fresh_start = state is None
+        debug_timing = os.environ.get("SPARK_GRAFT_DEBUG_TIMING") == "1"
+
+        def _tick(label, t0_box):
+            if debug_timing:
+                now = time.time()
+                print(f"    [round timing] {label}: {now - t0_box[0]:.2f}s", flush=True)
+                t0_box[0] = now
+
         for rnd in range(start_round, self.max_rounds):
-            frontier = frontier.localCheckpoint(eager=True)
+            _t = [time.time()]
+            # SLIM iterative state (frontier/seen) is localCheckpointed
+            # every round: it truncates lineage, which plain persist does
+            # not — persisted-only state makes plan analysis and stage
+            # counts grow superlinearly with round number. The FAT
+            # tables (fetch results) use columnar persist instead (~10x
+            # faster materialization) since their lineage is flat.
+            frontier = self._spill(frontier, "frontier", rnd)
+            _tick("frontier ckpt", _t)
             if frontier.isEmpty():
                 break
+            _tick("isEmpty", _t)
             planned = self._host_plan(frontier)
             w = Window.partitionBy("host").orderBy("depth", "seed_rank")
             planned = planned.withColumn("__rn", F.row_number().over(w))
@@ -275,13 +339,20 @@ class CrawlEngine:
             admitted = with_global_seq(
                 admitted, ["depth", "seed_rank"], seq_col="seq", offset=seq_counter
             )
+            _tick("admission+seq", _t)
 
+            # results stay persisted for the whole run: every later
+            # consumer (cum unions, final collects) reads the cache, and
+            # memory is bounded by the crawl's own output size (at true
+            # 10^10 scale checkpoint mode streams each round to parquet
+            # instead)
             results = (
                 self._salted_fetch(admitted)
                 .withColumn("round", F.lit(rnd))
-                .localCheckpoint(eager=True)
+                .persist()
             )
             n_fetched = results.count()
+            _tick(f"fetch ({n_fetched})", _t)
             if n_fetched == 0 and rest.isEmpty():
                 break
             seq_counter += n_fetched
@@ -335,59 +406,83 @@ class CrawlEngine:
                 .select("url_hash", "url", F.col("child_host").alias("host"), "depth", "seed_rank")
             )
 
-            offer_counts = (
+            # ONE spill serves both roles: the dedup candidate set and
+            # the round's seen delta (projection)
+            offer_counts = self._spill(
                 offers.groupBy("url_hash", "url", "host")
                 .agg(F.count("*").alias("multiplicity"), F.min("depth").alias("depth"),
                      F.min("seed_rank").alias("seed_rank"))
-            ).localCheckpoint(eager=True)
+                .withColumn("first_seen_round", F.lit(rnd)),
+                "offer_counts", rnd, keep=True,
+            )
+            _tick("offers", _t)
 
             # enqueue first discoveries only. The partitioned bloom
             # prefilter (frontier/bloom.py) splits candidates: bloom-
             # absent rows are PROVABLY new (no false negatives) and skip
             # the join entirely; only bloom-positive rows hit the exact
-            # anti-join (the authority). Result-transparent by
-            # construction — golden tests pass with it on or off.
-            # "auto": the bloom build (count + applyInPandas + collect per
-            # round) only pays for itself once the seen set is large;
-            # below the threshold the plain anti-join is cheaper
-            bloom_on = (
-                self.use_bloom_prefilter is True
-                or (self.use_bloom_prefilter == "auto" and seq_counter > 200_000)
-            )
-            if bloom_on:
+            # anti-join against the delta keys (the authority).
+            # Result-transparent by construction — golden tests pass
+            # with it on or off.
+            if bloom_enabled:
                 from ai4orgwebscraper_spark.frontier import bloom as B
 
-                flagged = B.prefilter_new(offer_counts, B.build_bloom(seen))
+                flagged = B.prefilter_new(offer_counts, blooms)
                 definitely_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
                 maybe_seen_rows = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
                 new_urls = definitely_new.unionByName(
-                    maybe_seen_rows.join(seen.select("url_hash"), "url_hash", "left_anti")
+                    maybe_seen_rows.join(_seen_keys(), "url_hash", "left_anti")
                 )
             else:
-                new_urls = offer_counts.join(seen.select("url_hash"), "url_hash", "left_anti")
+                new_urls = offer_counts.join(_seen_keys(), "url_hash", "left_anti")
             frontier = rest.unionByName(
                 new_urls.select("url_hash", "url", "host", "depth", "seed_rank")
             )
-            seen_updates = offer_counts.select(
-                "url_hash", "url", F.lit(rnd).alias("first_seen_round"), "multiplicity"
+            seen_delta = offer_counts.select(
+                "url_hash", "url", "first_seen_round", "multiplicity"
             )
-            seen = (
-                seen.unionByName(seen_updates)
-                .groupBy("url_hash", "url")
-                .agg(
-                    F.min("first_seen_round").alias("first_seen_round"),
-                    F.sum("multiplicity").alias("multiplicity"),
+            seen_parts.append(seen_delta)
+            if bloom_enabled:
+                # expected cardinality from this round's fetch volume
+                # (outlink fan-out <= 5) — skips a count() job
+                blooms.append(
+                    B.build_bloom(
+                        seen_delta,
+                        expected_per_shard=max(64, n_fetched * 5 // B.DEFAULT_SHARDS),
+                    )
                 )
-                .select("url_hash", "url", "first_seen_round", "multiplicity")
-                .localCheckpoint(eager=True)
-            )
+            _tick("seen delta", _t)
+
             if self.checkpoint_dir:
+                # round 0 of a fresh run folds the seed delta into the
+                # saved increment so a resume reconstructs the full seen
+                # key set (deltas are unioned on load)
+                seen_inc = (
+                    seen_parts[0].unionByName(seen_delta)
+                    if (fresh_start and rnd == 0)
+                    else seen_delta
+                )
                 ckpt.save_round(
-                    self.checkpoint_dir, rnd, seq_counter, frontier, seen,
-                    fetch_log_cum, documents_cum,
+                    self.checkpoint_dir, rnd, seq_counter, frontier, seen_inc,
+                    results.select(*FETCH_LOG_COLS),
+                    results.filter(F.col("status") == 200).select(
+                        F.col("url_hash").alias("doc_id"), "spans"
+                    ),
                     extra_manifest={"metrics": round_metrics.get(str(rnd))},
                 )
 
+        # the ONLY cumulative seen aggregation — once, at the end
+        seen_all = seen_parts[0]
+        for p in seen_parts[1:]:
+            seen_all = seen_all.unionByName(p)
+        seen = (
+            seen_all.groupBy("url_hash", "url")
+            .agg(
+                F.min("first_seen_round").alias("first_seen_round"),
+                F.sum("multiplicity").alias("multiplicity"),
+            )
+            .select("url_hash", "url", "first_seen_round", "multiplicity")
+        )
         documents = documents_cum.dropDuplicates(["doc_id"])
         return CrawlOutputs(
             fetch_log_cum, documents, seen,

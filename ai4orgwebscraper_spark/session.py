@@ -45,11 +45,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # Worker reuse stays ON (fresh workers pay a pandas-import tax
-        # per task). The mapInPandas socket-backpressure deadlock this
-        # can trigger on multi-million-row stages is avoided structurally
-        # in fetch_map_fn: drain input before writing output.
-        .config("spark.python.worker.reuse", "true")
+        # Worker reuse OFF: the daemon's worker-release handshake races
+        # intermittently in this Spark build (fetch stages hang with the
+        # JVM reader in epoll and a worker stuck in tcp_sendmsg — seen
+        # even on 60-row stages, so it is not backpressure; drain-first
+        # in fetch_map_fn covers that separately). ~15 runs with
+        # reuse=false incl. 8M-row stages never hung; the cost is a
+        # pandas-import tax per task, ~1-2s per python stage.
+        .config("spark.python.worker.reuse", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # shuffle spill to tmpfs: local-mode shuffles write to disk,
