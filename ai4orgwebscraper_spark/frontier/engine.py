@@ -11,22 +11,27 @@ keys only (SURVEY.md §3.4):
   global 1/rps spacing on a simulated clock.
 - ``reference_mode=False`` is the scale design: multi-round frontier
   with per-host token budgets (politeness), robots_disallow
-  filtering, canonical-URL dedup (exact anti-join; Spark's runtime
-  bloom-filter join injection — enabled in session.py — provides the
-  bloom prefilter of SURVEY.md C4 without a hand-rolled filter), and
-  outlink enqueue with deterministic discovery ranks. Its executable
-  spec is ``frontier.oracle.bfs_crawl``.
+  filtering, canonical-URL dedup (partitioned incremental Bloom
+  prefilter + exact anti-join authority — SURVEY.md C4,
+  frontier/bloom.py), and outlink enqueue with deterministic
+  discovery ranks. Its executable spec is
+  ``frontier.oracle.bfs_crawl``.
 
 Scale notes (the 1000-executor view):
 - the fetch stage repartitions by SALTED host-hash so a hot host
   (40% of the synthetic corpus) spreads over many tasks while
   admission stays per-host-exact (admission happens before salting);
 - per-round global sequence numbers use plans.with_global_seq
-  (range-partition + offsets), never a single-partition window;
-- per-round ``localCheckpoint`` truncates the iterative lineage so
-  plans don't grow with round count;
-- every round persists frontier/seen/fetch-log snapshots + a manifest
-  (checkpoint.py) → kill/resume is bit-identical (north rule).
+  (partition offsets), never a single-partition window;
+- the seen set is APPEND-ONLY delta parts; the cumulative
+  multiplicity aggregation runs once at the end, so no round ever
+  reshuffles the full seen table;
+- iterative-state lineage is truncated by parquet round-trips on
+  tmpfs (_spill) — cheaper than localCheckpoint and the same shape as
+  Iceberg snapshots;
+- every round commits the frontier snapshot + output increments with
+  an atomic manifest (checkpoint.py) → kill/resume is bit-identical
+  (north rule).
 """
 
 from __future__ import annotations
