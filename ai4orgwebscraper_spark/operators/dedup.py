@@ -218,7 +218,71 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw MinHash-LSH candidate pairs (doc_a < doc_b), deduped."""
+    bands = minhash_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the LSH candidate
+    pairs; cluster id = min doc_id in the component (the keeper).
+
+    Spark has no recursive SQL, so components run as iterative
+    min-label propagation — each iteration one join + aggregate,
+    converging in O(log(diameter)) rounds; persist pins each step and
+    a changed-count of zero stops the loop. (This is the standard
+    large-scale connected-components pattern; GraphFrames does the
+    same under the hood.) The DuckDB oracle computes the identical
+    fixpoint with a recursive CTE.
+
+    Output: per-cluster stats (bounded by |documents|)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = lsh_pairs(spark, sf_dir)
+    # undirected edges, both directions
+    fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    adj = fwd.unionByName(rev).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    for _ in range(32):  # converges in O(log n); hard cap for safety
+        neighbor_min = (
+            adj.join(labels, adj.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist(blocking=False)
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc_id"))
+        .orderBy("cluster_id")
+    )
+
+
 QUERIES = {
+    "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,
@@ -228,6 +292,42 @@ QUERIES = {
 _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
 
 ORACLES = {
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE toks AS (
+            SELECT DISTINCT doc_id, unnest({_TOKS}) AS token FROM documents
+        ),
+        mh AS (
+            SELECT doc_id, s.seed, min(md5(token || '#' || CAST(s.seed AS VARCHAR))) AS mh
+            FROM toks, generate_series(0, {N_SEEDS - 1}) s(seed)
+            GROUP BY doc_id, s.seed
+        ),
+        bands AS (
+            SELECT doc_id, seed // {SEEDS_PER_BAND} AS band,
+                   md5(CAST(seed // {SEEDS_PER_BAND} AS VARCHAR) || '|' ||
+                       string_agg(mh, ',' ORDER BY seed)) AS band_key
+            FROM mh GROUP BY doc_id, seed // {SEEDS_PER_BAND}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(doc_id, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON r.doc_id = e.src
+        ),
+        labels AS (
+            SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id
+        )
+        SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
+        FROM labels GROUP BY label ORDER BY cluster_id
+    """,
     "q_dedup_exact": f"""
         SELECT md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
                count(*) AS n_docs, min(doc_id) AS keeper_doc_id

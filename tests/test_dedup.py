@@ -66,6 +66,15 @@ def test_ngram_jaccard_stats(spark, planted_sf):
     assert row["max_jaccard"] == 1.0
 
 
+def test_clusters_separate_unrelated_docs(spark, planted_sf):
+    rows = {r["cluster_id"]: (r["n_docs"], r["max_doc_id"])
+            for r in dedup.q_dedup_clusters(spark, planted_sf).collect()}
+    # docs 0,1,2,4 are (near-)dups -> one cluster keyed by min doc 0;
+    # doc 3 is unrelated -> its own singleton cluster
+    assert rows[0] == (4, 4)
+    assert rows[3] == (1, 3)
+
+
 def test_fingerprint_matches_text_module(spark, planted_sf):
     fp = text.q_doc_fingerprint(spark, planted_sf)
     dups = fp.filter(F.col("n_docs") > 1).collect()
