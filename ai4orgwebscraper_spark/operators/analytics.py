@@ -134,7 +134,26 @@ def q_pivot_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, user bucket) — all grouping sets in one
+    pass (engine extension; SURVEY.md §2.4 note)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(3)))
+        .cube("event_type", "user_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("user_bucket").asc_nulls_first(),
+        )
+    )
+
+
 QUERIES = {
+    "q_events_cube": q_events_cube,
     "q_pivot_value_by_type": q_pivot_value_by_type,
     "q_events_by_type": q_events_by_type,
     "q_events_hourly": q_events_hourly,
@@ -145,6 +164,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_events_cube": """
+        SELECT event_type, user_id % 3 AS user_bucket, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY CUBE (event_type, user_id % 3)
+        ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST
+    """,
     "q_pivot_value_by_type": """
         SELECT user_id % 5 AS user_bucket,
                count(CASE WHEN event_type = 'click' THEN 1 END) AS click,

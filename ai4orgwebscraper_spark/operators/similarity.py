@@ -10,7 +10,7 @@ are rounded so Spark and DuckDB float summation agree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai4orgwebscraper_spark.sources.readers import load_table
@@ -117,9 +117,67 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: centroids = the embeddings of vec_ids
+    0..K-1 (deterministic, cross-engine — a real system would k-means
+    them; the OPERATOR under test is the assign+probe plan, which is
+    identical either way). Assignment = argmin L2 distance, ties to the
+    lower centroid id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec"))
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("cent_vec"),
+            lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cent_id", dist2.alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
+    return (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+    )
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: probe only the query's centroid bucket.
+
+    Scale: assignment is a broadcast nested scan over K tiny centroids;
+    the probe touches ~1/K of the corpus. nprobe=1 here; more probes =
+    union of buckets, same plan."""
+    assigned = _ivf_assign(spark, sf_dir)
+    query = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("query_vec"), F.col("bucket").alias("query_bucket")
+    )
+    return (
+        assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(query), F.col("bucket") == F.col("query_bucket"))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(_cosine(F.col("embedding"), F.col("query_vec")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
 QUERIES = {
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_lsh": q_knn_lsh,
+    "q_knn_ivf": q_knn_ivf,
     "q_embedding_neardup": q_embedding_neardup,
 }
 
@@ -135,7 +193,35 @@ _BUCKET_SQL = " + ".join(
     f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
 )
 
+_D2 = (
+    "list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(cent_vec AS DOUBLE[])), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
 ORACLES = {
+    "q_knn_ivf": f"""
+        WITH cents AS (
+            SELECT vec_id AS cent_id, embedding AS cent_vec
+            FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cent_id AS bucket
+            FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_D2}, c.cent_id) AS rk
+                FROM embeddings e, cents c
+            )
+            WHERE rk = 1
+        ),
+        q AS (SELECT embedding AS query_vec, bucket AS query_bucket
+              FROM assigned WHERE vec_id = {QUERY_VEC_ID})
+        SELECT vec_id, bucket,
+               round({_cos_sql("embedding", "query_vec")}, 4) AS cosine
+        FROM assigned, q
+        WHERE vec_id <> {QUERY_VEC_ID} AND bucket = query_bucket
+        ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    """,
     "q_knn_bruteforce": f"""
         WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
         SELECT vec_id, label,
