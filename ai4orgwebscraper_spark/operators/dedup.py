@@ -29,6 +29,11 @@ from ai4orgwebscraper_spark.sources.readers import load_table
 
 N_SEEDS = 8
 SEEDS_PER_BAND = 2  # -> 4 bands
+# junk-band suppression (standard LSH practice): a bucket with more
+# members than this carries no discriminative signal and would emit
+# O(size^2) pairs — at 10^10 docs a single degenerate band bucket
+# otherwise explodes the candidate join
+MAX_BUCKET = 64
 
 
 def _distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,14 +96,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle→minhash→band→bucket-join; output is the deduped candidate
     pair list (doc_a < doc_b) — downstream exact Jaccard verification
     runs only on these pairs."""
-    bands = minhash_bands(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    pairs = lsh_pairs(spark, sf_dir)
     # pair lists are quadratic-ish; the stable driver-facing contract is
     # the per-doc candidate profile (row count bounded by |documents|)
     return (
@@ -219,8 +217,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw MinHash-LSH candidate pairs (doc_a < doc_b), deduped."""
+    """Raw MinHash-LSH candidate pairs (doc_a < doc_b), deduped;
+    over-dense buckets suppressed (MAX_BUCKET)."""
+    from pyspark.sql import Window
+
     bands = minhash_bands(spark, sf_dir)
+    wsize = Window.partitionBy("band_key")
+    bands = bands.withColumn("__bsize", F.count("*").over(wsize)).filter(
+        F.col("__bsize") <= MAX_BUCKET
+    ).drop("__bsize")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -307,9 +312,16 @@ ORACLES = {
                        string_agg(mh, ',' ORDER BY seed)) AS band_key
             FROM mh GROUP BY doc_id, seed // {SEEDS_PER_BAND}
         ),
+        kept AS (
+            SELECT doc_id, band, band_key FROM (
+                SELECT doc_id, band, band_key,
+                       count(*) OVER (PARTITION BY band_key) AS bsize
+                FROM bands
+            ) WHERE bsize <= 64
+        ),
         pairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
+            FROM kept a JOIN kept b
               ON a.band_key = b.band_key AND a.doc_id < b.doc_id
         ),
         edges AS (
@@ -352,9 +364,15 @@ ORACLES = {
                        string_agg(mh, ',' ORDER BY seed)) AS band_key
             FROM mh GROUP BY doc_id, seed // {SEEDS_PER_BAND}
         )
-        , pairs AS (
+        , kept AS (
+            SELECT doc_id, band, band_key FROM (
+                SELECT doc_id, band, band_key,
+                       count(*) OVER (PARTITION BY band_key) AS bsize
+                FROM bands
+            ) WHERE bsize <= 64
+        ), pairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
+            FROM kept a JOIN kept b
               ON a.band_key = b.band_key AND a.doc_id < b.doc_id
         )
         SELECT doc_a, count(*) AS n_candidates,
