@@ -54,6 +54,59 @@ def _crawl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.run(engine.seeds_from_list(seed_urls(100))).documents
 
 
+def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: binary media decode plumbing (codecs stubbed with a
+    deterministic fake — operators/multimodal.py)."""
+    from pyspark.sql import functions as F
+
+    from ai4orgwebscraper_spark.operators import multimodal as mm
+
+    decoded = mm.decode_media(mm.synthetic_media(spark, n=96), fake=True)
+    return (
+        decoded.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("feat_mean"), 4).alias("avg_feat_mean"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .orderBy("media_type")
+    )
+
+
+def _html_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the H-series field extractor over deterministic HTML
+    rendered from the synthetic corpus spans."""
+    from pyspark.sql import functions as F
+
+    from ai4orgwebscraper_spark.operators.html_parse import parse_html
+    from ai4orgwebscraper_spark.sources.corpus import page_for, seed_urls
+
+    rows = []
+    for u in seed_urls(40):
+        page = page_for(u)
+        if page.status != 200:
+            continue
+        body = [f"<title>{page.title}</title>"]
+        for kind, text, media_ref, _off in page.spans:
+            if kind == "text":
+                body.append(f"<p>{text}</p>")
+            else:
+                body.append(f'<img src="{media_ref}" alt="{text}">')
+        for href in page.outlinks:
+            body.append(f'<a href="{href}">link</a>')
+        rows.append((page.url_hash, "".join(body)))
+    df = spark.createDataFrame(rows, "doc_id string, html string")
+    parsed = parse_html(df)
+    return parsed.select(
+        "doc_id",
+        "title",
+        F.size("spans").alias("n_spans"),
+        F.size("links").alias("n_links"),
+        F.size("images").alias("n_images"),
+        "has_paragraphs",
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ai4orgwebscraper_spark import operators
     from ai4orgwebscraper_spark.streaming import events_stream
@@ -61,11 +114,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(operators.QUERIES)
     out.update(events_stream.QUERIES)
-    # crawl-engine paths (no SQL oracle — stateful iterative loop;
-    # exact-match vs the normative oracle is asserted in tests/)
+    # rows-only paths (no SQL oracle — stateful iterative loop / UDF
+    # plumbing; exact-match vs the normative oracle and semantic tests
+    # live in tests/)
     out["crawl_reference_parity"] = _crawl_reference_log
     out["crawl_bfs_frontier"] = _crawl_bfs_log
     out["crawl_documents_spans"] = _crawl_documents
+    out["multimodal_decode"] = _multimodal_decode
+    out["html_parse_fields"] = _html_parse_fields
     return out
 
 

@@ -36,7 +36,17 @@ def test_every_query_is_registered():
         "crawl_reference_parity",
         "crawl_bfs_frontier",
         "crawl_documents_spans",
+        "multimodal_decode",
+        "html_parse_fields",
     }
+
+
+@pytest.mark.parametrize(
+    "name", ["multimodal_decode", "html_parse_fields", "crawl_documents_spans"]
+)
+def test_rows_only_queries_run(spark, name):
+    df = _QUERIES[name](spark, SF_DIR)
+    assert len(df.collect()) > 0
 
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
