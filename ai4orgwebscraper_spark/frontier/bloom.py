@@ -22,7 +22,6 @@ processes, no RNG (north-rule resumability).
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd

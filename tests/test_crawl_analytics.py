@@ -5,7 +5,6 @@ from __future__ import annotations
 from collections import Counter
 
 import pytest
-from pyspark.sql import functions as F
 
 from ai4orgwebscraper_spark.frontier.engine import CrawlEngine
 from ai4orgwebscraper_spark.functions.urls import canonicalize_py, host_py, resolve_outlink_py

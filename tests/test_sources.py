@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from ai4orgwebscraper_spark.sources.seeds import (
     SeedCapExceeded,
