@@ -245,6 +245,17 @@ class CrawlEngine:
         return CrawlOutputs(fetch_log, documents, seen, {"rounds": 1})
 
     # --- scale path: multi-round BFS with politeness --------------------
+    @staticmethod
+    def priority_col():
+        """Frontier priority score (north rule: 'priority queue (depth +
+        host-budget score)'): lower runs first. Default = depth — pure
+        BFS, which is what the normative oracle specifies. The host-
+        budget component is an extension hook: e.g.
+        ``depth * 1000 + host_backlog_rank`` de-prioritizes URLs on
+        congested hosts; any deterministic expression over frontier
+        columns keeps replay exact (change the oracle in lockstep)."""
+        return F.col("depth").cast("long")
+
     def _host_plan(self, frontier: DataFrame) -> DataFrame:
         """Join per-host politeness config (broadcast — hosts is a small
         dim) and compute admission budget + inter-fetch gap."""
@@ -328,8 +339,8 @@ class CrawlEngine:
             if frontier.isEmpty():
                 break
             _tick("isEmpty", _t)
-            planned = self._host_plan(frontier)
-            w = Window.partitionBy("host").orderBy("depth", "seed_rank")
+            planned = self._host_plan(frontier).withColumn("priority", self.priority_col())
+            w = Window.partitionBy("host").orderBy("priority", "seed_rank")
             planned = planned.withColumn("__rn", F.row_number().over(w))
             admitted = planned.filter(F.col("__rn") <= F.col("__budget"))
             rest = planned.filter(F.col("__rn") > F.col("__budget")).select(
@@ -339,10 +350,12 @@ class CrawlEngine:
             admitted = admitted.withColumn(
                 "fetched_at_ms",
                 (F.lit(round_base) + F.floor((F.col("__rn") - 1) * F.col("__gap_ms"))).cast("long"),
-            ).select("url_hash", "url", "host", "depth", "seed_rank", "fetched_at_ms")
+            ).select(
+                "url_hash", "url", "host", "depth", "priority", "seed_rank", "fetched_at_ms"
+            )
             # global seq on the slim admitted rows, pre-fetch
             admitted = with_global_seq(
-                admitted, ["depth", "seed_rank"], seq_col="seq", offset=seq_counter
+                admitted, ["priority", "seed_rank"], seq_col="seq", offset=seq_counter
             )
             _tick("admission+seq", _t)
 
