@@ -47,11 +47,28 @@ def _crawl_bfs_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _crawl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship spans payload, exploded to scalar rows
+    (doc_id, offset, kind, text, media_ref) so the driver's
+    canonicalizer can sort/hash it (array cells are unhashable in
+    pandas). Same information as documents(doc_id, spans); exact
+    span-sequence equality vs the normative oracle is asserted in
+    tests/test_crawl_golden.py."""
+    from pyspark.sql import functions as F
+
     from ai4orgwebscraper_spark.frontier.engine import CrawlEngine
     from ai4orgwebscraper_spark.sources.corpus import seed_urls
 
     engine = CrawlEngine(spark, reference_mode=True)
-    return engine.run(engine.seeds_from_list(seed_urls(100))).documents
+    docs = engine.run(engine.seeds_from_list(seed_urls(100))).documents
+    return docs.select(
+        "doc_id", F.explode("spans").alias("span")
+    ).select(
+        "doc_id",
+        F.col("span.offset").alias("offset"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+    )
 
 
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

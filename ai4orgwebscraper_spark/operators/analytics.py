@@ -200,7 +200,7 @@ ORACLES = {
         ORDER BY n_events DESC, user_id LIMIT 20
     """,
     "q_events_sessionized": """
-        SELECT user_id, sum(is_new_session) AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(sum(is_new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM (
             SELECT user_id,
                    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER

@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai4orgwebscraper_spark.operators.text import _tokens
@@ -115,53 +115,58 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each token contributes ±1 to 16 bit positions (bits = first 4 hex
     chars of md5(token)); the doc's bit is the sign of the sum. Encoded
-    as an integer; equal simhash16 = near-dup bucket."""
+    as an integer; equal simhash16 = near-dup bucket.
+
+    One pass, no row blowup (VERDICT r01 item 10): instead of
+    crossJoining tokens with the 16 bit positions (16x shuffle volume),
+    the 16 vote tallies are 16 conditional sums over the same token
+    stream — the one-pass pattern of minhash_bands. Map-side partial
+    sums shrink the shuffle to |docs| x 16 longs."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
     hexmap = "0123456789abcdef"
-    bits = spark.range(16).select(
-        (F.col("id") / 4).cast("int").alias("char_idx"),
-        (F.col("id") % 4).cast("int").alias("bit_in_char"),
-        F.col("id").cast("int").alias("bitpos"),
-    )
-    hashed = toks.select("doc_id", F.md5("token").alias("h"))
-    contrib = (
-        hashed.crossJoin(F.broadcast(bits))
-        .select(
-            "doc_id",
-            "bitpos",
-            (
-                F.floor(
-                    (F.expr(f"instr('{hexmap}', substring(h, char_idx + 1, 1))") - 1)
-                    / F.pow(F.lit(2), F.col("bit_in_char"))
-                ).cast("long")
-                % 2
-            ).alias("bit"),
+    hashed = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    ).select("doc_id", F.md5("token").alias("h"))
+
+    def vote(p: int):
+        # bit p of the 16-bit hash = bit (p%4) of hex char (p//4);
+        # vote is ±1
+        return F.expr(
+            f"2 * (CAST(floor((instr('{hexmap}', substring(h, {p // 4 + 1}, 1)) - 1)"
+            f" / {2 ** (p % 4)}) AS BIGINT) % 2) - 1"
         )
-        .select("doc_id", "bitpos", (F.col("bit") * 2 - 1).alias("vote"))
+
+    votes = hashed.groupBy("doc_id").agg(
+        *[F.sum(vote(p)).alias(f"v{p}") for p in range(16)]
     )
-    return (
-        contrib.groupBy("doc_id", "bitpos")
-        .agg(F.sum("vote").alias("votes"))
-        .select(
-            "doc_id",
-            F.when(F.col("votes") > 0, F.pow(F.lit(2), F.col("bitpos")).cast("long"))
-            .otherwise(F.lit(0))
-            .alias("bitval"),
+    simhash = None
+    for p in range(16):
+        term = F.when(F.col(f"v{p}") > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash16"))
-        .orderBy("doc_id")
-    )
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.alias("simhash16")).orderBy("doc_id")
+
+
+# hot-shingle suppression (VERDICT r01 item 5 — same degenerate-bucket
+# rationale as MAX_BUCKET): a shingle shared by df docs inside a source
+# block emits O(df^2) candidate pairs; boilerplate shingles ("all
+# rights reserved ...") make that unbounded at 10^10 docs. Shingles with
+# in-block document frequency above this cap are dropped from the index
+# AND from the per-doc size, i.e. Jaccard is computed over the pruned
+# shingle universe (mirrored exactly in the oracle).
+MAX_SHINGLE_DF = 64
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup stats, blocked by `source`.
 
     Inverted-index join (pairs share >=1 shingle) inside each block;
-    jaccard = |shared| / (|A| + |B| - |shared|). Output is per-block
-    aggregate (pair lists explode at scale; stats are the stable
-    contract)."""
+    jaccard = |shared| / (|A| + |B| - |shared|) over the pruned
+    shingle universe (hot shingles with df > MAX_SHINGLE_DF dropped —
+    bounds per-shingle fan-out to MAX_SHINGLE_DF^2). Output is
+    per-block aggregate (pair lists explode at scale; stats are the
+    stable contract)."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
     shingle_expr = F.expr(
@@ -172,6 +177,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingles = d.select(
         "doc_id", "source", F.explode(F.array_distinct(shingle_expr)).alias("shingle")
+    )
+    wdf = Window.partitionBy("source", "shingle")
+    shingles = (
+        shingles.withColumn("__df", F.count("*").over(wdf))
+        .filter(F.col("__df") <= MAX_SHINGLE_DF)
+        .drop("__df")
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = shingles.alias("a")
@@ -391,7 +402,7 @@ ORACLES = {
             FROM toks, generate_series(0, 15) bp(bitpos)
         )
         SELECT doc_id,
-               sum(CASE WHEN votes > 0 THEN CAST(power(2, bitpos) AS BIGINT) ELSE 0 END) AS simhash16
+               CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bitpos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
         FROM (
             SELECT doc_id, bitpos, sum(vote) AS votes
             FROM contrib GROUP BY doc_id, bitpos
@@ -402,11 +413,15 @@ ORACLES = {
         WITH d AS (
             SELECT doc_id, source, {_TOKS} AS toks FROM documents
         ),
-        shingles AS (
+        raw_shingles AS (
             SELECT DISTINCT doc_id, source,
                    unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
                           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingle
             FROM d
+        ),
+        shingles AS (
+            SELECT * FROM raw_shingles
+            QUALIFY count(*) OVER (PARTITION BY source, shingle) <= {MAX_SHINGLE_DF}
         ),
         sizes AS (
             SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id

@@ -194,14 +194,24 @@ def q_customer_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_orders_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset pagination (SURVEY.md S6/O2: start/count offset paging,
-    linkedin_api.py:419-421, count capped at 100) — row_number over a
-    deterministic order + range filter, page 3 of size 25."""
+    linkedin_api.py:419-421, count capped at 100), page 3 of size 25.
+
+    Scale shape: orderBy().limit(start+count) compiles to
+    TakeOrderedAndProject — each partition keeps its local top-75 and
+    only 75-row heaps reach the driver-side merge. Only the ≤75
+    survivors go through the (now trivially small) global row_number
+    window; the whole-orders-table SinglePartition window exchange the
+    naive version implies never exists (VERDICT r01 item 3)."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_orderdate"), F.col("o_orderkey"))
     start, count = 50, min(25, 100)
+    page_order = [F.desc("o_orderdate"), F.col("o_orderkey")]
+    top = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    ).orderBy(*page_order).limit(start + count)
+    w = Window.orderBy(*page_order)
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > start) & (F.col("rn") <= start + count))
+        top.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") > start)
         .select("rn", "o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("rn")
     )

@@ -89,17 +89,41 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# candidate-block cap for embedding near-dup (same junk-bucket
+# rationale as dedup.MAX_BUCKET): a (label, sign-bucket) block bigger
+# than this emits O(size^2) pairs with no discriminative signal
+MAX_BLOCK = 1024
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup stats, blocked by label (the
-    embedding twin of dedup.q_dedup_ngram_jaccard): per label, pairs
-    checked and pairs above threshold."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
+    """Embedding-cosine near-dup stats, candidate-blocked by
+    (label, 8-bit sign-LSH bucket) — the embedding twin of
+    dedup.q_dedup_ngram_jaccard.
+
+    Scale shape (VERDICT r01 item 4): candidate generation is the
+    cheap sign-bucket column expr, so the self-join key is
+    (label, bucket) — block size ~corpus/(L*256) instead of corpus/L,
+    and blocks above MAX_BLOCK are dropped outright (mirrored in the
+    oracle). Exact cosine runs only on in-block candidates. Near-dups
+    in different sign buckets are sacrificed — the standard LSH
+    recall/cost trade; multi-band sign-LSH would recover them with the
+    same plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _sign_bucket(F.col("embedding"))
+    )
+    sizes = emb.groupBy("label", "bucket").agg(F.count("*").alias("block_n"))
+    blocked = emb.join(
+        F.broadcast(sizes.filter(F.col("block_n") <= MAX_BLOCK)),
+        ["label", "bucket"],
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.label").alias("label"),
@@ -243,11 +267,20 @@ ORACLES = {
         ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
     """,
     "q_embedding_neardup": f"""
-        WITH pairs AS (
+        WITH e AS (
+            SELECT vec_id, label, embedding, {_BUCKET_SQL} AS bucket
+            FROM embeddings
+        ),
+        blocked AS (
+            SELECT * FROM e
+            QUALIFY count(*) OVER (PARTITION BY label, bucket) <= {MAX_BLOCK}
+        ),
+        pairs AS (
             SELECT a.label AS label,
                    {_cos_sql("a.embedding", "b.embedding")} AS cosine
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
+            FROM blocked a JOIN blocked b
+              ON a.label = b.label AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
         )
         SELECT label, count(*) AS n_pairs,
                count(CASE WHEN cosine >= 0.5 THEN 1 END) AS n_near_dups,

@@ -79,7 +79,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.max("n_tokens").alias("max_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
         )
         .orderBy("source")
     )
@@ -150,15 +150,15 @@ ORACLES = {
                                    w -> w IN {_STOP_SQL})) AS n_stop
             FROM documents
         )
-        SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                round(sum(n_stop) / sum(n_tokens), 6) AS stopword_ratio,
                round(sum(n_chars) / sum(n_tokens), 6) AS chars_per_token
         FROM per_doc GROUP BY lang ORDER BY lang
     """,
     "q_token_counts": """
         SELECT source, count(*) AS n_docs,
-               sum(len(string_split(text, ' '))) AS total_tokens,
-               max(len(string_split(text, ' '))) AS max_tokens
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
         FROM documents GROUP BY source ORDER BY source
     """,
     "q_lang_id": """
