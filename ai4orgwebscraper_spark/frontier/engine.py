@@ -36,6 +36,7 @@ Scale notes (the 1000-executor view):
 
 from __future__ import annotations
 
+import atexit
 import math
 import os
 import shutil
@@ -154,6 +155,10 @@ class CrawlEngine:
             "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
         )
         self._state_dir = tempfile.mkdtemp(prefix="crawl_state_", dir=base)
+        # leak guard for engines never close()d (tests, notebooks)
+        atexit.register(shutil.rmtree, self._state_dir, ignore_errors=True)
+        # run-scoped persisted DataFrames, released in close()
+        self._pinned: list[DataFrame] = []
         self.hosts_df = spark.createDataFrame(self.hosts_rows, schema=schemas.HOSTS)
 
     # ------------------------------------------------------------------
@@ -183,14 +188,32 @@ class CrawlEngine:
         A columnar parquet write+read truncates lineage like a
         checkpoint at a fraction of localCheckpoint's Java-serialization
         cost, and is exactly what the Iceberg-snapshot layer does in
-        production. Unless ``keep``, the spill from two rounds back is
-        deleted (current state references only the latest)."""
+        production. Spill files are RETAINED for the engine's lifetime
+        (close()/atexit cleans up): long-lived DataFrames — run-long
+        persisted fetch results, the returned CrawlOutputs — keep
+        lineage into earlier spills, and deleting a still-referenced
+        spill would turn any cache-partition loss on a real cluster
+        into FileNotFoundException at recompute (ADVICE r01). Disk is
+        bounded by sum-of-round-state, the same envelope the Iceberg
+        snapshot history holds in production."""
         path = os.path.join(self._state_dir, f"{name}_{rnd}")
         df.write.mode("overwrite").parquet(path)
-        if not keep:
-            old = os.path.join(self._state_dir, f"{name}_{rnd - 2}")
-            shutil.rmtree(old, ignore_errors=True)
         return self.spark.read.parquet(path)
+
+    def close(self) -> None:
+        """Release run-scoped state: unpersist every cached DataFrame
+        the run pinned (per-round fetch results + global-seq bases —
+        without this the cache grows linearly with round count, ADVICE
+        r01) and delete the spill directory. Call after the
+        CrawlOutputs DataFrames have been fully consumed (collected or
+        written out) — they read from these caches/files."""
+        for df in self._pinned:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._pinned.clear()
+        shutil.rmtree(self._state_dir, ignore_errors=True)
 
     def _salted_fetch(self, admitted: DataFrame) -> DataFrame:
         """Distribute the admitted batch for fetching: salt the host
@@ -225,7 +248,8 @@ class CrawlEngine:
         # skipped (assume_sorted).
         gap_ms = 1000.0 / self.default_rps
         frontier = with_global_seq(
-            self._canonical_seeds(seeds), ["seed_rank"], seq_col="seq", assume_sorted=True
+            self._canonical_seeds(seeds), ["seed_rank"], seq_col="seq",
+            assume_sorted=True, pin_registry=self._pinned,
         )
         frontier = frontier.withColumn(
             "fetched_at_ms", F.floor(F.col("seq") * F.lit(gap_ms)).cast("long")
@@ -306,14 +330,20 @@ class CrawlEngine:
                 out = out.unionByName(p.select("url_hash"))
             return out
 
-        blooms: list = []
+        # incremental bloom shard DataFrames: one per delta part, built
+        # from the small delta — never a full-seen rebuild, never
+        # collected to the driver (shard-co-partitioned membership,
+        # frontier/bloom.py). Each part is parquet-spilled so its
+        # lineage doesn't chain across rounds.
+        bloom_parts: list = []
         bloom_enabled = self.use_bloom_prefilter in (True, "auto")
         if bloom_enabled:
             from ai4orgwebscraper_spark.frontier import bloom as B
 
-            # incremental blooms: one per delta part, built from the
-            # small delta — never a full-seen rebuild
-            blooms = [B.build_bloom(p) for p in seen_parts]
+            bloom_parts = [
+                self._spill(B.build_bloom_shards(p), f"bloom_init{i}", 0, keep=True)
+                for i, p in enumerate(seen_parts)
+            ]
 
         rounds_done = start_round
         round_metrics: dict[str, dict] = {}
@@ -355,7 +385,8 @@ class CrawlEngine:
             )
             # global seq on the slim admitted rows, pre-fetch
             admitted = with_global_seq(
-                admitted, ["priority", "seed_rank"], seq_col="seq", offset=seq_counter
+                admitted, ["priority", "seed_rank"], seq_col="seq",
+                offset=seq_counter, pin_registry=self._pinned,
             )
             _tick("admission+seq", _t)
 
@@ -369,6 +400,7 @@ class CrawlEngine:
                 .withColumn("round", F.lit(rnd))
                 .persist()
             )
+            self._pinned.append(results)
             n_fetched = results.count()
             _tick(f"fetch ({n_fetched})", _t)
             if n_fetched == 0 and rest.isEmpty():
@@ -445,7 +477,7 @@ class CrawlEngine:
             if bloom_enabled:
                 from ai4orgwebscraper_spark.frontier import bloom as B
 
-                flagged = B.prefilter_new(offer_counts, blooms)
+                flagged = B.prefilter_new(offer_counts, bloom_parts)
                 definitely_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
                 maybe_seen_rows = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
                 new_urls = definitely_new.unionByName(
@@ -463,10 +495,13 @@ class CrawlEngine:
             if bloom_enabled:
                 # expected cardinality from this round's fetch volume
                 # (outlink fan-out <= 5) — skips a count() job
-                blooms.append(
-                    B.build_bloom(
-                        seen_delta,
-                        expected_per_shard=max(64, n_fetched * 5 // B.DEFAULT_SHARDS),
+                bloom_parts.append(
+                    self._spill(
+                        B.build_bloom_shards(
+                            seen_delta,
+                            expected_per_shard=max(64, n_fetched * 5 // B.DEFAULT_SHARDS),
+                        ),
+                        "bloom", rnd, keep=True,
                     )
                 )
             _tick("seen delta", _t)

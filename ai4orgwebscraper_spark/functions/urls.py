@@ -23,7 +23,7 @@ needed).
 from __future__ import annotations
 
 import hashlib
-from urllib.parse import urlparse
+from urllib.parse import quote, urlparse
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -34,13 +34,44 @@ from pyspark.sql import functions as F
 
 
 def canonicalize_col(url: Column) -> Column:
-    """Canonical URL per reference normalize_url semantics; null if empty."""
-    trimmed = F.trim(url)
+    """Canonical URL per reference normalize_url semantics; null if empty.
+
+    Steps (identical in canonicalize_py — parity-tested in test_urls):
+    1. strip LEADING/TRAILING ASCII whitespace [ \\t\\n\\r\\f\\x0B] —
+       regexp, not F.trim, which strips only ' ' and would disagree
+       with the Python twin on a '\\thttp://a.com' seed (ADVICE r01);
+    2. http:// -> https://; prefix https:// when no scheme;
+    3. percent-encode every char outside printable ASCII (plus the
+       space) as UTF-8 %XX — the reference quote()s non-ASCII titles
+       into URL paths (reference MakeURLs.py:19-21, urllib.parse.quote)
+       and an unencoded unicode seed would break url_hash parity with
+       any real fetcher. '%' stays safe, so already-encoded URLs are
+       NOT double-encoded and the canonicalizer is idempotent
+       (outlinks re-enter it every round).
+    """
+    trimmed = F.regexp_replace(url, r"^[\s]+|[\s]+$", "")
     https = F.regexp_replace(trimmed, "^http://", "https://")
     with_scheme = F.when(https.rlike("^https://"), https).otherwise(
         F.concat(F.lit("https://"), https)
     )
-    return F.when(trimmed == "", F.lit(None).cast("string")).otherwise(with_scheme)
+    encoded = F.when(
+        with_scheme.rlike("[^!-~]"),  # rare path: something to encode
+        F.array_join(
+            F.transform(
+                # regexp (not split('', ...)): matches whole code points,
+                # so astral-plane chars keep their surrogate pairs intact
+                F.regexp_extract_all(with_scheme, F.lit(r"([\s\S])"), 1),
+                lambda c: F.when(c.rlike("^[!-~]$"), c).otherwise(
+                    # url_encode is form-encoding; space comes back '+',
+                    # quote() wants %20 (a literal '+' encodes to %2B
+                    # first, so this replace only ever hits spaces)
+                    F.regexp_replace(F.url_encode(c), r"\+", "%20")
+                ),
+            ),
+            "",
+        ),
+    ).otherwise(with_scheme)
+    return F.when(trimmed == "", F.lit(None).cast("string")).otherwise(encoded)
 
 
 def url_hash_col(canonical_url: Column) -> Column:
@@ -49,8 +80,11 @@ def url_hash_col(canonical_url: Column) -> Column:
 
 
 def host_col(canonical_url: Column) -> Column:
-    """Registrable host, lower-cased (reference netloc extraction:
-    app.py:200, app.py:503)."""
+    """Registrable host, lower-cased, PORT DROPPED (parse_url HOST
+    semantics; host_py mirrors via urlparse().hostname — ADVICE r01
+    flagged the twin keeping the port, which made politeness/robots
+    lookups diverge for ported URLs). Reference netloc extraction:
+    app.py:200, app.py:503."""
     return F.lower(F.parse_url(canonical_url, F.lit("HOST")))
 
 
@@ -86,17 +120,27 @@ def resolve_outlink_col(base_host: Column, href: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+# quote() treats alphanumerics + '_.-~' as always-safe; adding the
+# rest of printable ASCII means ONLY the space, control chars and
+# non-ASCII get %-encoded — the exact complement of the engine's
+# [!-~] passthrough class, and idempotent ('%' is safe)
+_QUOTE_SAFE = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+# ASCII whitespace only — str.strip() with no args also strips unicode
+# whitespace, which the JVM regexp twin does not (ADVICE r01)
+_ASCII_WS = " \t\n\r\f\x0b"
+
+
 def canonicalize_py(url: str | None) -> str | None:
     if url is None:
         return None
-    u = url.strip()
+    u = url.strip(_ASCII_WS)
     if not u:
         return None
     if u.startswith("http://"):
         u = "https://" + u[len("http://") :]
     elif not u.startswith("https://"):
         u = "https://" + u
-    return u
+    return quote(u, safe=_QUOTE_SAFE)
 
 
 def url_hash_py(canonical_url: str) -> str:
@@ -104,7 +148,13 @@ def url_hash_py(canonical_url: str) -> str:
 
 
 def host_py(canonical_url: str) -> str:
-    return (urlparse(canonical_url).netloc or "").lower()
+    # hostname (not netloc): lower-cased, port dropped — matches
+    # parse_url(..., 'HOST') in host_col (ADVICE r01). Canonical URLs
+    # are pure ASCII (percent-encoded), so the one remaining divergence
+    # is a '%' inside the authority: the JVM parser rejects it (null);
+    # mirror that as "" (invalid — dropped by the validity predicate).
+    host = urlparse(canonical_url).hostname or ""
+    return "" if "%" in host else host
 
 
 def path_py(canonical_url: str) -> str:

@@ -38,6 +38,7 @@ def with_global_seq(
     offset: int = 0,
     num_partitions: int | None = None,
     assume_sorted: bool = False,
+    pin_registry: list | None = None,
 ) -> DataFrame:
     """Add a dense 0-based (plus ``offset``) global sequence column
     ordered by ``order_cols``.
@@ -46,6 +47,14 @@ def with_global_seq(
     the input is already globally ordered by ``order_cols`` (partition
     i's keys all precede partition i+1's, rows sorted within each) —
     true for frontiers derived from ``spark.range`` by narrow ops.
+
+    The internal persist that pins the mid layout must outlive every
+    consumer of the result (recompute through an unpersisted base
+    could re-derive mids under a different runtime plan). Callers that
+    loop — the crawl engine calls this every round — pass
+    ``pin_registry`` (a list the pinned DataFrame is appended to) and
+    unpersist the batch when their run closes, instead of leaking one
+    cached DataFrame per round (ADVICE r01).
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
@@ -54,6 +63,8 @@ def with_global_seq(
             *order_cols
         )
     base = df.withColumn("__mid", F.monotonically_increasing_id()).persist()
+    if pin_registry is not None:
+        pin_registry.append(base)
     pid = F.shiftrightunsigned(F.col("__mid"), _MID_BITS).alias("__pid")
     counts = {
         r["__pid"]: r["cnt"]

@@ -1,5 +1,6 @@
 """Partitioned bloom seen-set: no false negatives, bounded false
-positives, result-transparent inside the engine."""
+positives, no driver materialization, result-transparent inside the
+engine."""
 
 from __future__ import annotations
 
@@ -14,23 +15,47 @@ def _keys(prefix: str, n: int) -> list[str]:
     return [hashlib.md5(f"{prefix}|{i}".encode()).hexdigest() for i in range(n)]
 
 
+def _flags(spark, shards, keys, n_shards):
+    cands = spark.createDataFrame([(k,) for k in keys], "url_hash string")
+    return {
+        r["url_hash"]: r["__maybe_seen"]
+        for r in B.prefilter_new(cands, shards, n_shards=n_shards).collect()
+    }
+
+
 def test_no_false_negatives_and_bounded_fpp(spark):
     present = _keys("in", 3000)
     absent = _keys("out", 3000)
     seen = spark.createDataFrame([(k,) for k in present], "url_hash string")
-    bloom = B.build_bloom(seen, n_shards=16, fpp=0.01)
-    assert all(bloom.might_contain(k) for k in present)  # NEVER a false negative
-    fp = sum(1 for k in absent if bloom.might_contain(k))
+    shards = B.build_bloom_shards(seen, n_shards=16, fpp=0.01)
+    flagged = _flags(spark, shards, present + absent, n_shards=16)
+    assert all(flagged[k] for k in present)  # NEVER a false negative
+    fp = sum(1 for k in absent if flagged[k])
     assert fp / len(absent) < 0.05  # sized for 1%; generous CI bound
+
+
+def test_incremental_parts_or_semantics(spark):
+    """Membership across a list of round-delta shard DataFrames is the
+    OR of the parts (the append-only delta structure the engine keeps)."""
+    a, b = _keys("a", 400), _keys("b", 400)
+    absent = _keys("c", 400)
+    part_a = B.build_bloom_shards(
+        spark.createDataFrame([(k,) for k in a], "url_hash string"), n_shards=8
+    )
+    part_b = B.build_bloom_shards(
+        spark.createDataFrame([(k,) for k in b], "url_hash string"), n_shards=8
+    )
+    flagged = _flags(spark, [part_a, part_b], a + b + absent, n_shards=8)
+    assert all(flagged[k] for k in a + b)
+    assert sum(1 for k in absent if flagged[k]) < 20
 
 
 def test_prefilter_column(spark):
     present = _keys("in", 500)
     absent = _keys("out", 500)
     seen = spark.createDataFrame([(k,) for k in present], "url_hash string")
-    bloom = B.build_bloom(seen, n_shards=8)
-    cands = spark.createDataFrame([(k,) for k in present + absent], "url_hash string")
-    flagged = {r["url_hash"]: r["__maybe_seen"] for r in B.prefilter_new(cands, bloom).collect()}
+    shards = B.build_bloom_shards(seen, n_shards=8)
+    flagged = _flags(spark, shards, present + absent, n_shards=8)
     assert all(flagged[k] for k in present)
     assert sum(1 for k in absent if flagged[k]) < 25
 

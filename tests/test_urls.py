@@ -17,6 +17,17 @@ CASES = [
     "",
     "HOST.example.com/UPPER/path",
     "https://host0.example.com/p/abc?q=1#frag",
+    # whitespace variants beyond ' ' (ADVICE r01: trim vs strip parity)
+    "\thttp://tabbed.example.com/x",
+    "\r\nhttps://crlf.example.com/y\t ",
+    # percent-encoding (SURVEY P3/F10, reference MakeURLs.py quote())
+    "https://wiki.example.com/wiki/Café",
+    "https://wiki.example.com/wiki/Les_Misérables",
+    "wiki.example.com/中文/标题",
+    "https://wiki.example.com/space in path",
+    "https://wiki.example.com/emoji/\U0001F600",  # astral plane
+    "https://wiki.example.com/already%20encoded",  # idempotence
+    "http://ported.example.com:8080/p",
 ]
 
 
@@ -47,6 +58,16 @@ def test_canonicalize_idempotent(raw):
     if once is not None:
         assert U.canonicalize_py(once) == once
         assert once.startswith("https://")
+
+
+@given(st.text(max_size=40))  # full unicode, incl. astral plane
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent_unicode(raw):
+    once = U.canonicalize_py(raw)
+    if once is not None:
+        assert U.canonicalize_py(once) == once
+        assert once.isascii()  # percent-encoding leaves pure ASCII
+        assert " " not in once
 
 
 def test_resolve_outlink():
