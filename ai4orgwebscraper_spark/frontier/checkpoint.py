@@ -31,6 +31,13 @@ STATE_TABLES = ("frontier",)
 INC_TABLES = ("seen", "fetch_log", "documents")
 
 
+class CheckpointMismatch(RuntimeError):
+    """The checkpoint directory disagrees with the resuming engine —
+    different config fingerprint or a non-contiguous round chain.
+    Silently unioning increments written under different parameters
+    would continue the crawl with mixed semantics (ADVICE r01)."""
+
+
 def save_round(
     base_dir: str,
     rnd: int,
@@ -40,6 +47,7 @@ def save_round(
     fetch_log_inc: DataFrame,
     documents_inc: DataFrame,
     extra_manifest: dict | None = None,
+    config_fingerprint: str | None = None,
 ) -> None:
     rd = os.path.join(base_dir, f"round={rnd}")
     frames = dict(
@@ -52,6 +60,7 @@ def save_round(
         "seq_counter": seq_counter,
         "state_tables": list(STATE_TABLES),
         "increment_tables": list(INC_TABLES),
+        "config_fingerprint": config_fingerprint,
     }
     if extra_manifest:
         manifest.update({k: v for k, v in extra_manifest.items() if v is not None})
@@ -71,14 +80,36 @@ def _complete_rounds(base_dir: str) -> list[int]:
     return sorted(out)
 
 
-def load_latest(spark: SparkSession, base_dir: str):
+def load_latest(spark: SparkSession, base_dir: str, config_fingerprint: str | None = None):
     """Return (frontier, seen, fetch_log_cum, documents_cum, next_round,
-    seq_counter) from the newest complete snapshot chain, or None."""
+    seq_counter) from the newest complete snapshot chain, or None.
+
+    Fails LOUDLY (CheckpointMismatch) on a stale/foreign directory:
+    the committed rounds must be the contiguous chain 0..last (a gap
+    means a missing increment — the cumulative unions would silently
+    drop it), and every manifest's config_fingerprint must equal the
+    resuming engine's (resuming under different max_depth/rps/host
+    config would mix semantics mid-crawl). Pre-fingerprint manifests
+    (None recorded) are accepted only when the caller passes None."""
     if not base_dir or not os.path.isdir(base_dir):
         return None
     rounds = _complete_rounds(base_dir)
     if not rounds:
         return None
+    if rounds != list(range(rounds[0], rounds[-1] + 1)) or rounds[0] != 0:
+        raise CheckpointMismatch(
+            f"non-contiguous committed rounds {rounds} in {base_dir!r}; "
+            "refusing to resume from a partial chain"
+        )
+    for r in rounds:
+        with open(os.path.join(base_dir, f"round={r}", "manifest.json")) as f:
+            m = json.load(f)
+        if m.get("config_fingerprint") != config_fingerprint:
+            raise CheckpointMismatch(
+                f"round {r} was written with config fingerprint "
+                f"{m.get('config_fingerprint')!r}, resuming engine has "
+                f"{config_fingerprint!r} ({base_dir!r})"
+            )
     last = rounds[-1]
     with open(os.path.join(base_dir, f"round={last}", "manifest.json")) as f:
         manifest = json.load(f)

@@ -37,6 +37,8 @@ Scale notes (the 1000-executor view):
 from __future__ import annotations
 
 import atexit
+import hashlib
+import json
 import math
 import os
 import shutil
@@ -159,6 +161,21 @@ class CrawlEngine:
         atexit.register(shutil.rmtree, self._state_dir, ignore_errors=True)
         # run-scoped persisted DataFrames, released in close()
         self._pinned: list[DataFrame] = []
+        # semantics-bearing config only (bloom/salting are result-
+        # transparent, max_rounds is a stop condition — extending it to
+        # continue a crawl is a legitimate resume)
+        fp_src = json.dumps(
+            {
+                "default_rps": self.default_rps,
+                "round_seconds": self.round_seconds,
+                "max_depth": self.max_depth,
+                "hosts": sorted(
+                    (json.dumps(h, sort_keys=True, default=str) for h in self.hosts_rows)
+                ),
+            },
+            sort_keys=True,
+        )
+        self.config_fingerprint = hashlib.md5(fp_src.encode()).hexdigest()
         self.hosts_df = spark.createDataFrame(self.hosts_rows, schema=schemas.HOSTS)
 
     # ------------------------------------------------------------------
@@ -304,9 +321,15 @@ class CrawlEngine:
         # O(rounds x total) shuffle; deltas make each round O(delta) and
         # the multiplicity/first-round aggregation runs ONCE at the end.
         # (Iceberg shape: each delta is an append snapshot.)
-        state = ckpt.load_latest(spark, self.checkpoint_dir) if self.checkpoint_dir else None
+        state = (
+            ckpt.load_latest(spark, self.checkpoint_dir, self.config_fingerprint)
+            if self.checkpoint_dir
+            else None
+        )
         if state is not None:
             frontier, seen_loaded, fetch_log_cum, documents_cum, start_round, seq_counter = state
+            if "attempts" not in frontier.columns:  # pre-C6 checkpoint
+                frontier = frontier.withColumn("attempts", F.lit(0))
             seen_parts = [seen_loaded]
         else:
             canon = self._canonical_seeds(seeds)
@@ -321,8 +344,21 @@ class CrawlEngine:
             frontier = (
                 canon.groupBy("url_hash", "url", "host")
                 .agg(F.min("seed_rank").alias("seed_rank"), F.min("depth").alias("depth"))
-                .select("url_hash", "url", "host", "depth", "seed_rank")
+                .select(
+                    "url_hash", "url", "host", "depth", "seed_rank",
+                    F.lit(0).alias("attempts"),
+                )
             )
+
+        # cross-round politeness clock (VERDICT r01 item 8): per-host
+        # last fetched_at_ms, carried across rounds so an inter-round
+        # gap can never undercut crawl_delay. On resume this rebuilds
+        # from the loaded cumulative log (one tiny agg); fresh starts
+        # get the same agg over the empty log — identical code path.
+        host_clock = self._spill(
+            fetch_log_cum.groupBy("host").agg(F.max("fetched_at_ms").alias("__last_ms")),
+            "host_clock", start_round - 1, keep=True,
+        )
 
         def _seen_keys() -> DataFrame:
             out = seen_parts[0].select("url_hash")
@@ -374,14 +410,29 @@ class CrawlEngine:
             planned = planned.withColumn("__rn", F.row_number().over(w))
             admitted = planned.filter(F.col("__rn") <= F.col("__budget"))
             rest = planned.filter(F.col("__rn") > F.col("__budget")).select(
-                "url_hash", "url", "host", "depth", "seed_rank"
+                "url_hash", "url", "host", "depth", "seed_rank", "attempts"
             )
             round_base = int(rnd * self.round_seconds * 1000)
-            admitted = admitted.withColumn(
-                "fetched_at_ms",
-                (F.lit(round_base) + F.floor((F.col("__rn") - 1) * F.col("__gap_ms"))).cast("long"),
-            ).select(
-                "url_hash", "url", "host", "depth", "priority", "seed_rank", "fetched_at_ms"
+            # per-host round start = max(round_base, last + ceil(gap)):
+            # the cross-round politeness clock (host_clock is tiny —
+            # one row per host ever fetched)
+            start_col = F.greatest(
+                F.lit(round_base).cast("long"),
+                F.coalesce(
+                    F.col("__last_ms") + F.ceil(F.col("__gap_ms")).cast("long"),
+                    F.lit(round_base).cast("long"),
+                ),
+            )
+            admitted = (
+                admitted.join(host_clock, "host", "left")
+                .withColumn(
+                    "fetched_at_ms",
+                    (start_col + F.floor((F.col("__rn") - 1) * F.col("__gap_ms"))).cast("long"),
+                )
+                .select(
+                    "url_hash", "url", "host", "depth", "priority", "seed_rank",
+                    "attempts", "fetched_at_ms",
+                )
             )
             # global seq on the slim admitted rows, pre-fetch
             admitted = with_global_seq(
@@ -485,8 +536,34 @@ class CrawlEngine:
                 )
             else:
                 new_urls = offer_counts.join(_seen_keys(), "url_hash", "left_anti")
+            # C6 retry/fallback (reference web_scraper.py:46-48): a 403
+            # from the plain fetcher re-enqueues ONCE with attempts=1 —
+            # fetched through the JS fetcher in a later round (round-
+            # delayed backoff), original order keys kept so replay is
+            # exact. Bypasses the seen anti-join deliberately: the URL
+            # is already seen, this is a refetch.
+            retry = results.filter(
+                (F.col("status") == 403) & (F.col("attempts") == 0)
+            ).select(
+                "url_hash", "url", "host", "depth", "seed_rank",
+                (F.col("attempts") + 1).alias("attempts"),
+            )
             frontier = rest.unionByName(
-                new_urls.select("url_hash", "url", "host", "depth", "seed_rank")
+                new_urls.select(
+                    "url_hash", "url", "host", "depth", "seed_rank",
+                    F.lit(0).alias("attempts"),
+                )
+            ).unionByName(retry)
+            # advance the cross-round clock with this round's fetches
+            host_clock = self._spill(
+                host_clock.unionByName(
+                    results.groupBy("host").agg(
+                        F.max("fetched_at_ms").alias("__last_ms")
+                    )
+                )
+                .groupBy("host")
+                .agg(F.max("__last_ms").alias("__last_ms")),
+                "host_clock", rnd, keep=True,
             )
             seen_delta = offer_counts.select(
                 "url_hash", "url", "first_seen_round", "multiplicity"
@@ -522,6 +599,7 @@ class CrawlEngine:
                         F.col("url_hash").alias("doc_id"), "spans"
                     ),
                     extra_manifest={"metrics": round_metrics.get(str(rnd))},
+                    config_fingerprint=self.config_fingerprint,
                 )
 
         # the ONLY cumulative seen aggregation — once, at the end

@@ -30,9 +30,13 @@ _COLS = [f.name for f in schemas.FETCH_RESULT.fields]
 
 
 def _fetch_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    # attempts > 0 -> the row is a 403 retry routed through the JS
+    # fetcher (C6; reference web_scraper.py:46-48). Rows predate the
+    # retry feature in old checkpoints, so default to 0.
+    attempts = pdf["attempts"] if "attempts" in pdf.columns else pd.Series(0, index=pdf.index)
     statuses, errors, titles, lats, spans_col, links_col = [], [], [], [], [], []
-    for url, uh, host in zip(pdf["url"], pdf["url_hash"], pdf["host"]):
-        page = page_from_parts(url, uh, host)
+    for url, uh, host, att in zip(pdf["url"], pdf["url_hash"], pdf["host"], attempts):
+        page = page_from_parts(url, uh, host, js=att > 0)
         statuses.append(page.status)
         errors.append(page.error)
         titles.append(page.title)
@@ -61,6 +65,8 @@ def _fetch_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "title": titles,
             "latency_ms": lats,
             "fetched_at_ms": pdf["fetched_at_ms"].values,
+            "attempts": attempts.values,
+            "fetcher": attempts.map(lambda a: "js" if a > 0 else "plain").values,
             "spans": spans_col,
             "outlinks": links_col,
         },

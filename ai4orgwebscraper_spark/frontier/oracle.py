@@ -62,6 +62,8 @@ def reference_crawl(raw_seeds: list[str], rps: float = 3.0) -> OracleResult:
                 "error": page.error,
                 "title": page.title,
                 "fetched_at_ms": int(seq * gap_ms),
+                "attempts": 0,
+                "fetcher": "plain",
             }
         )
         res.seen[canon] = res.seen.get(canon, 0) + 1
@@ -83,20 +85,37 @@ def bfs_crawl(
     round_seconds: float = 10.0,
     max_rounds: int = 50,
 ) -> OracleResult:
-    """Extended multi-round crawl spec (dedup + per-host politeness).
+    """Extended multi-round crawl spec (dedup + per-host politeness +
+    C6 retry/fallback).
 
     Each round, every host admits up to floor(rate * round_seconds)
     pending URLs in (depth, rank) order; robots_disallow path prefixes
     are excluded at enqueue. fetched_at_ms is the politeness-spaced
-    per-host slot time. Deduplicated by canonical URL (first discovery
-    wins; multiplicity counts every offer).
+    per-host slot time, and the slot clock CARRIES ACROSS ROUNDS: a
+    host's first slot of round r starts at
+    max(round_base, last_fetch + ceil(gap)) so inter-round gaps respect
+    crawl_delay regardless of budget arithmetic (VERDICT r01 item 8).
+    Deduplicated by canonical URL (first discovery wins; multiplicity
+    counts every offer). A 403 from the plain fetcher is re-enqueued
+    ONCE with attempts=1 and fetched through the JS fetcher in a later
+    round — round-delayed backoff, the reference's alternate-fetcher
+    contract (reference web_scraper.py:46-48; SURVEY.md C6).
     """
+    import math
+
     res = OracleResult()
     host_cfg = {h["host"]: h for h in hosts}
     default_cfg = {"rate_limit_rps": 3.0, "crawl_delay_s": None, "robots_disallow": []}
 
-    # frontier entries: (depth, rank, canon)
-    frontier: list[tuple[int, int, str]] = []
+    def gap_for(host: str) -> float:
+        cfg = host_cfg.get(host, default_cfg)
+        gap_ms = 1000.0 / cfg["rate_limit_rps"]
+        if cfg.get("crawl_delay_s"):
+            gap_ms = max(gap_ms, cfg["crawl_delay_s"] * 1000.0)
+        return gap_ms
+
+    # frontier entries: (depth, rank, canon, attempts)
+    frontier: list[tuple[int, int, str, int]] = []
     enqueued: set[str] = set()
     for rank, raw in enumerate(raw_seeds):
         canon = canonicalize_py(raw)
@@ -105,16 +124,17 @@ def bfs_crawl(
         res.seen[canon] = res.seen.get(canon, 0) + 1
         if canon not in enqueued:
             enqueued.add(canon)
-            frontier.append((0, rank, canon))
+            frontier.append((0, rank, canon, 0))
 
     seq = 0
+    last_fetch: dict[str, int] = {}  # host -> last fetched_at_ms, all rounds
     for rnd in range(max_rounds):
         if not frontier:
             break
         # per-host admission in (depth, rank) order
         frontier.sort()
-        admitted: list[tuple[int, int, str]] = []
-        rest: list[tuple[int, int, str]] = []
+        admitted: list[tuple[int, int, str, int]] = []
+        rest: list[tuple[int, int, str, int]] = []
         used: dict[str, int] = {}
         for entry in frontier:
             host = host_py(entry[2])
@@ -131,17 +151,25 @@ def bfs_crawl(
         frontier = rest
 
         # fetch admitted in (depth, rank) order; per-host slot clock
+        # seeded from the cross-round politeness clock
         slot: dict[str, int] = {}
+        start_ms: dict[str, int] = {}
         round_base_ms = int(rnd * round_seconds * 1000)
-        for depth, rank, canon in admitted:
+        for depth, rank, canon, attempts in admitted:
             host = host_py(canon)
-            cfg = host_cfg.get(host, default_cfg)
-            gap_ms = 1000.0 / cfg["rate_limit_rps"]
-            if cfg.get("crawl_delay_s"):
-                gap_ms = max(gap_ms, cfg["crawl_delay_s"] * 1000.0)
+            gap_ms = gap_for(host)
+            if host not in start_ms:
+                prev = last_fetch.get(host)
+                start_ms[host] = (
+                    round_base_ms
+                    if prev is None
+                    else max(round_base_ms, prev + math.ceil(gap_ms))
+                )
             k = slot.get(host, 0)
             slot[host] = k + 1
-            page = page_for(canon)
+            fetched_at = start_ms[host] + int(k * gap_ms)
+            last_fetch[host] = fetched_at
+            page = page_for(canon, js=attempts > 0)
             res.fetch_log.append(
                 {
                     "seq": seq,
@@ -154,9 +182,16 @@ def bfs_crawl(
                     "status": page.status,
                     "error": page.error,
                     "title": page.title,
-                    "fetched_at_ms": round_base_ms + int(k * gap_ms),
+                    "fetched_at_ms": fetched_at,
+                    "attempts": attempts,
+                    "fetcher": "js" if attempts > 0 else "plain",
                 }
             )
+            if page.status == 403 and attempts == 0:
+                # re-enqueue once through the JS fetcher; lands in a
+                # later round (round-delayed backoff), keeps its
+                # original order keys
+                frontier.append((depth, rank, canon, 1))
             if page.status == 200:
                 res.spans[page.url_hash] = list(page.spans)
                 if depth < max_depth:
@@ -175,7 +210,9 @@ def bfs_crawl(
                         res.seen[child] = res.seen.get(child, 0) + 1
                         if child not in enqueued:
                             enqueued.add(child)
-                            frontier.append((depth + 1, _rank_for_link(seq, li), child))
+                            frontier.append(
+                                (depth + 1, _rank_for_link(seq, li), child, 0)
+                            )
             seq += 1
     return res
 

@@ -162,6 +162,18 @@ def compile_selector(selector: str):
             continue
         tokens.append((comb, piece.strip()))
         comb = " "
+    # a selector with no simple parts ('', '>') or one ending in a
+    # combinator ('div >') must fail HERE, at compile time on the
+    # driver — not as an IndexError inside an executor at match time
+    # (ADVICE r01)
+    if not tokens:
+        raise UnsupportedSelector(f"selector has no simple parts: {selector!r}")
+    if comb == ">":
+        raise UnsupportedSelector(f"selector ends with a combinator: {selector!r}")
+    if tokens[0][0] == ">":
+        # '> p' has no left operand; silently matching like bare 'p'
+        # would be a wrong answer, not a missing feature
+        raise UnsupportedSelector(f"selector starts with a combinator: {selector!r}")
     matchers = [(c, _compile_simple(p)) for c, p in tokens]
 
     def matches(n: Node) -> bool:

@@ -83,6 +83,11 @@ FETCH_LOG = T.StructType(
         T.StructField("error", T.StringType(), True),
         T.StructField("title", T.StringType(), True),
         T.StructField("fetched_at_ms", T.LongType(), False),
+        # C6 retry/fallback (reference web_scraper.py:46-48 contract:
+        # 403 -> retry with the JS fetcher): attempt number and which
+        # fetcher served the row
+        T.StructField("attempts", T.IntegerType(), False),
+        T.StructField("fetcher", T.StringType(), False),  # plain|js
     ]
 )
 
@@ -115,6 +120,8 @@ FETCH_RESULT = T.StructType(
         T.StructField("title", T.StringType(), True),
         T.StructField("latency_ms", T.IntegerType(), False),
         T.StructField("fetched_at_ms", T.LongType(), False),
+        T.StructField("attempts", T.IntegerType(), False),
+        T.StructField("fetcher", T.StringType(), False),  # plain|js
         T.StructField("spans", SPANS, True),
         T.StructField("outlinks", T.ArrayType(T.StringType()), True),
     ]

@@ -120,7 +120,7 @@ def _build_phrases(n: int = 1024) -> list[str]:
 _PHRASES = _build_phrases()
 
 
-def page_for(raw_url: str) -> SyntheticPage:
+def page_for(raw_url: str, js: bool = False) -> SyntheticPage:
     """Generate the page behind a URL. Pure; identical everywhere.
 
     One md5 of the canonical URL seeds a splitmix64 stream; every field
@@ -131,13 +131,25 @@ def page_for(raw_url: str) -> SyntheticPage:
     """
     canon = canonicalize_py(raw_url)
     assert canon is not None
-    return page_from_parts(canon, url_hash_py(canon), host_py(canon))
+    return page_from_parts(canon, url_hash_py(canon), host_py(canon), js=js)
 
 
-def page_from_parts(canon: str, uh: str, host: str) -> SyntheticPage:
+# JS-rendered fetch costs ~3x the plain fetch (headless browser vs
+# socket read) — the modeled S5 latency envelope
+JS_LATENCY_FACTOR = 3
+
+
+def page_from_parts(canon: str, uh: str, host: str, js: bool = False) -> SyntheticPage:
     """Fast path when the caller already has the canonical URL, its
     md5 key and host (the frontier row carries all three — the fetch
-    stage must not re-derive them per row)."""
+    stage must not re-derive them per row).
+
+    ``js=True`` models the reference's alternate Selenium fetcher
+    (reference web_scraper.py:46-48: a 403 from the plain fetcher is
+    retried through the JS fetcher): a bot-blocked 403 page renders as
+    a full 200 (same deterministic content stream) at JS_LATENCY_FACTOR
+    x the latency; 404/500 stay what they are — the origin is missing
+    or broken regardless of fetcher."""
     h = int(uh[:16], 16)  # first 8 bytes of the md5 already computed
 
     status_roll = h % 100
@@ -150,6 +162,10 @@ def page_from_parts(canon: str, uh: str, host: str) -> SyntheticPage:
     else:
         status = 500
     latency_ms = 20 + (h >> 8) % 480
+    if js:
+        latency_ms *= JS_LATENCY_FACTOR
+        if status == 403:
+            status = 200  # bot-block bypassed; content identical
 
     page = SyntheticPage(
         url=canon, url_hash=uh, host=host, status=status, latency_ms=latency_ms, title=None

@@ -84,9 +84,61 @@ def test_bfs_dedup_and_seen(bfs):
     oracle, out = bfs
     got = {r["url"]: r["multiplicity"] for r in out.seen.collect()}
     assert got == oracle.seen
-    # dedup: every URL fetched at most once in BFS mode
-    urls = [r["url"] for r in out.fetch_log.collect()]
-    assert len(urls) == len(set(urls))
+    # dedup: every URL fetched at most once PER ATTEMPT in BFS mode —
+    # a 403 may legitimately appear twice (plain then js retry, C6)
+    rows = out.fetch_log.collect()
+    pairs = [(r["url"], r["attempts"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    from collections import Counter
+
+    by_url = Counter(r["url"] for r in rows)
+    for r in rows:
+        if by_url[r["url"]] > 1:
+            assert by_url[r["url"]] == 2  # exactly one retry, never more
+
+
+def test_bfs_403_retry_via_js_fetcher(bfs):
+    """C6 contract (reference web_scraper.py:46-48): every 403 from the
+    plain fetcher is refetched EXACTLY once through the js fetcher in a
+    strictly later round, recovers content, and matches the oracle's
+    retry rows in order and timestamps."""
+    oracle, out = bfs
+    log = out.fetch_log.orderBy("seq").collect()
+    plain_403 = [r for r in log if r["status"] == 403 and r["attempts"] == 0]
+    retries = [r for r in log if r["attempts"] == 1]
+    assert len(plain_403) > 0  # fixture must exercise the path
+    assert sorted(r["url"] for r in plain_403) == sorted(r["url"] for r in retries)
+    first_403 = {r["url"]: r for r in plain_403}
+    for r in retries:
+        assert r["fetcher"] == "js"
+        assert r["status"] == 200  # bot-block bypassed, content served
+        assert r["round"] > first_403[r["url"]]["round"]  # round-delayed backoff
+    # oracle lockstep
+    want = [(x["url"], x["round"], x["fetched_at_ms"]) for x in oracle.fetch_log if x["attempts"] == 1]
+    assert [(r["url"], r["round"], r["fetched_at_ms"]) for r in retries] == want
+
+
+def test_bfs_politeness_gap_across_round_boundaries(bfs):
+    """The cross-round clock: per-host inter-fetch gaps hold ACROSS
+    round boundaries, not just within a round (VERDICT r01 item 8)."""
+    _, out = bfs
+    hosts_cfg = {h["host"]: h for h in default_hosts()}
+    rows = out.fetch_log.select("host", "round", "fetched_at_ms").collect()
+    from itertools import groupby
+
+    rows = sorted(rows, key=lambda r: (r["host"], r["fetched_at_ms"]))
+    boundary_pairs = 0
+    for host, grp in groupby(rows, key=lambda r: r["host"]):
+        grp = list(grp)
+        cfg = hosts_cfg.get(host)
+        gap_ms = 1000.0 / cfg["rate_limit_rps"]
+        if cfg.get("crawl_delay_s"):
+            gap_ms = max(gap_ms, cfg["crawl_delay_s"] * 1000.0)
+        for a, b in zip(grp, grp[1:]):
+            assert b["fetched_at_ms"] - a["fetched_at_ms"] >= int(gap_ms) - 1, (host, a, b)
+            if b["round"] != a["round"]:
+                boundary_pairs += 1
+    assert boundary_pairs > 0  # fixture must actually cross boundaries
 
 
 def test_bfs_politeness_gap_per_host(bfs):

@@ -62,3 +62,50 @@ def test_incomplete_snapshot_is_ignored(spark, tmp_path):
     base = str(tmp_path / "ckpt2")
     os.makedirs(os.path.join(base, "round=5"))
     assert ckpt_mod.load_latest(spark, base) is None
+
+
+def test_resume_rejects_mismatched_config(spark, tmp_path):
+    """Resuming a checkpoint under different engine parameters must
+    fail loudly, never silently union increments written under other
+    semantics (ADVICE r01)."""
+    import pytest
+
+    from ai4orgwebscraper_spark.frontier.checkpoint import CheckpointMismatch
+
+    seeds = seed_urls(20)
+    ckpt = str(tmp_path / "ckpt3")
+    eng = CrawlEngine(spark, max_rounds=2, checkpoint_dir=ckpt, **_kwargs())
+    eng.run(eng.seeds_from_list(seeds))
+
+    other = CrawlEngine(
+        spark, max_rounds=50, checkpoint_dir=ckpt,
+        hosts=default_hosts(), max_depth=2, round_seconds=10.0,  # depth differs
+    )
+    with pytest.raises(CheckpointMismatch):
+        other.run(other.seeds_from_list(seeds))
+    # extending max_rounds alone is a legitimate resume (stop condition,
+    # not semantics) — must NOT raise
+    cont = CrawlEngine(spark, max_rounds=3, checkpoint_dir=ckpt, **_kwargs())
+    cont.run(cont.seeds_from_list(seeds))
+
+
+def test_resume_rejects_round_gap(spark, tmp_path):
+    """A committed-round chain with a hole (manually pruned dir, torn
+    storage) must refuse to resume."""
+    import os
+    import shutil
+
+    import pytest
+
+    from ai4orgwebscraper_spark.frontier.checkpoint import CheckpointMismatch
+
+    seeds = seed_urls(20)
+    ckpt = str(tmp_path / "ckpt4")
+    eng = CrawlEngine(spark, max_rounds=3, checkpoint_dir=ckpt, **_kwargs())
+    eng.run(eng.seeds_from_list(seeds))
+    rounds = sorted(d for d in os.listdir(ckpt) if d.startswith("round="))
+    assert len(rounds) >= 3
+    shutil.rmtree(os.path.join(ckpt, rounds[1]))  # punch a hole
+    again = CrawlEngine(spark, max_rounds=5, checkpoint_dir=ckpt, **_kwargs())
+    with pytest.raises(CheckpointMismatch):
+        again.run(again.seeds_from_list(seeds))
