@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from ai4orgwebscraper_spark import schemas
@@ -66,7 +67,7 @@ def _fetch_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "latency_ms": lats,
             "fetched_at_ms": pdf["fetched_at_ms"].values,
             "attempts": attempts.values,
-            "fetcher": attempts.map(lambda a: "js" if a > 0 else "plain").values,
+            "fetcher": np.where(attempts.to_numpy() > 0, "js", "plain"),
             "spans": spans_col,
             "outlinks": links_col,
         },

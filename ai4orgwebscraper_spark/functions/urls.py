@@ -38,8 +38,10 @@ def canonicalize_col(url: Column) -> Column:
 
     Steps (identical in canonicalize_py — parity-tested in test_urls):
     1. strip LEADING/TRAILING ASCII whitespace [ \\t\\n\\r\\f\\x0B] —
-       regexp, not F.trim, which strips only ' ' and would disagree
-       with the Python twin on a '\\thttp://a.com' seed (ADVICE r01);
+       btrim with the explicit set, not F.trim, which strips only ' '
+       and would disagree with the Python twin on a '\\thttp://a.com'
+       seed (ADVICE r01; btrim is a plain JVM char-set loop — the
+       regexp_replace version costs ~4x on the 2M-row bench);
     2. http:// -> https://; prefix https:// when no scheme;
     3. percent-encode every char outside printable ASCII (plus the
        space) as UTF-8 %XX — the reference quote()s non-ASCII titles
@@ -49,7 +51,7 @@ def canonicalize_col(url: Column) -> Column:
        NOT double-encoded and the canonicalizer is idempotent
        (outlinks re-enter it every round).
     """
-    trimmed = F.regexp_replace(url, r"^[\s]+|[\s]+$", "")
+    trimmed = F.btrim(url, F.lit(" \t\n\r\f\x0b"))
     https = F.regexp_replace(trimmed, "^http://", "https://")
     with_scheme = F.when(https.rlike("^https://"), https).otherwise(
         F.concat(F.lit("https://"), https)

@@ -297,8 +297,42 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete two-stage dedup pipeline: MinHash-LSH candidate
+    generation, then EXACT Jaccard verification on candidates only —
+    the production shape (approximate recall stage bounds the work,
+    exact precision stage bounds the false positives).
+
+    Scale: pairs are LSH-capped (MAX_BUCKET); verification joins the
+    per-doc distinct-token arrays to the pair list (two key joins) and
+    computes intersection/union JVM-side (array_intersect) — exact
+    Jaccard is only ever computed on O(|candidates|) rows, never
+    all-pairs."""
+    pairs = lsh_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("toks")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
+    verified = (
+        pairs.join(a, "doc_a").join(b, "doc_b").select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+    return (
+        verified.groupBy("doc_a")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.count(F.when(F.col("jaccard") >= 0.5, 1)).alias("n_verified"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .orderBy("doc_a")
+    )
+
+
 QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_lsh_verified": q_dedup_lsh_verified,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,
@@ -307,7 +341,61 @@ QUERIES = {
 
 _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
 
+# shared CTE chain: distinct tokens -> K minhashes -> bands -> junk-cap
+# -> deduped candidate pairs (the SQL twin of minhash_bands + lsh_pairs)
+_LSH_PAIRS_CTES = f"""
+        toks AS (
+            SELECT DISTINCT doc_id, unnest({_TOKS}) AS token FROM documents
+        ),
+        mh AS (
+            SELECT doc_id, s.seed, min(md5(token || '#' || CAST(s.seed AS VARCHAR))) AS mh
+            FROM toks, generate_series(0, {N_SEEDS - 1}) s(seed)
+            GROUP BY doc_id, s.seed
+        ),
+        bands AS (
+            SELECT doc_id, seed // {SEEDS_PER_BAND} AS band,
+                   md5(CAST(seed // {SEEDS_PER_BAND} AS VARCHAR) || '|' ||
+                       string_agg(mh, ',' ORDER BY seed)) AS band_key
+            FROM mh GROUP BY doc_id, seed // {SEEDS_PER_BAND}
+        ),
+        kept AS (
+            SELECT doc_id, band, band_key FROM (
+                SELECT doc_id, band, band_key,
+                       count(*) OVER (PARTITION BY band_key) AS bsize
+                FROM bands
+            ) WHERE bsize <= {MAX_BUCKET}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM kept a JOIN kept b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+"""
+
 ORACLES = {
+    "q_dedup_lsh_verified": f"""
+        WITH {_LSH_PAIRS_CTES},
+        sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        shared AS (
+            SELECT p.doc_a, p.doc_b, count(*) AS n_shared
+            FROM pairs p
+            JOIN toks ta ON ta.doc_id = p.doc_a
+            JOIN toks tb ON tb.doc_id = p.doc_b AND tb.token = ta.token
+            GROUP BY p.doc_a, p.doc_b
+        ),
+        verified AS (
+            SELECT p.doc_a, p.doc_b,
+                   coalesce(s.n_shared, 0) / (sa.n + sb.n - coalesce(s.n_shared, 0)) AS jaccard
+            FROM pairs p
+            LEFT JOIN shared s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+            JOIN sizes sa ON p.doc_a = sa.doc_id
+            JOIN sizes sb ON p.doc_b = sb.doc_id
+        )
+        SELECT doc_a, count(*) AS n_candidates,
+               count(CASE WHEN jaccard >= 0.5 THEN 1 END) AS n_verified,
+               round(max(jaccard), 6) AS max_jaccard
+        FROM verified GROUP BY doc_a ORDER BY doc_a
+    """,
     "q_dedup_clusters": f"""
         WITH RECURSIVE toks AS (
             SELECT DISTINCT doc_id, unnest({_TOKS}) AS token FROM documents

@@ -122,7 +122,7 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.col("p_partkey"))
     return (
-        part.withColumn("rank_in_brand", F.row_number().over(w))
+        part.withColumn("rank_in_brand", F.row_number().over(w).cast("long"))
         .filter(F.col("rank_in_brand") <= 3)
         .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rank_in_brand")
         .orderBy("p_brand", "rank_in_brand")
@@ -234,7 +234,48 @@ def q_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_nested_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested API-document extraction (SURVEY.md S6/S7/P8 shape: the
+    reference's job rows carry nested structs with an industries list,
+    linkedin_api.py:81-113, and the industries predicate filters on it,
+    P8). Flat TPC-H columns are packed into the nested document shape
+    the API would return — detail.{brand, size_class, industries[]} —
+    then queried through struct-field access + array_contains, the
+    exact operator pair the reference's nested rows need.
+
+    Scale: struct pack/extract and array_contains are pure codegen'd
+    column exprs over one scan; the agg is an ordinary partial+final
+    hash agg on the extracted field."""
+    part = load_table(spark, sf_dir, "part")
+    docs = part.select(
+        "p_partkey",
+        F.struct(
+            F.col("p_brand").alias("brand"),
+            F.col("p_size").alias("size_class"),
+            F.array(
+                F.col("p_type"),
+                F.concat(F.lit("SZ"), (F.col("p_size") % 5).cast("string")),
+            ).alias("industries"),
+        ).alias("detail"),
+        F.col("p_retailprice"),
+    )
+    return (
+        docs.filter(F.array_contains(F.col("detail.industries"), "PROMO"))
+        .groupBy(F.col("detail.brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.countDistinct(F.col("detail.size_class")).alias("n_sizes"),
+            F.round(F.sum(F.col("p_retailprice").cast(DEC)).cast("double"), 2).alias(
+                "total_price"
+            ),
+            F.max(F.size(F.col("detail.industries"))).cast("long").alias("max_industries"),
+        )
+        .orderBy("brand")
+    )
+
+
 QUERIES = {
+    "q_part_nested_detail": q_part_nested_detail,
     "q_customer_lookup": q_customer_lookup,
     "q_orders_paged": q_orders_paged,
     "q_rollup_order_status": q_rollup_order_status,
@@ -250,6 +291,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_part_nested_detail": """
+        WITH docs AS (
+            SELECT p_partkey,
+                   struct_pack(brand := p_brand, size_class := p_size,
+                               industries := [p_type, 'SZ' || CAST(p_size % 5 AS VARCHAR)]) AS detail,
+                   p_retailprice
+            FROM part
+        )
+        SELECT struct_extract(detail, 'brand') AS brand,
+               count(*) AS n_parts,
+               count(DISTINCT struct_extract(detail, 'size_class')) AS n_sizes,
+               round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price,
+               CAST(max(len(struct_extract(detail, 'industries'))) AS BIGINT) AS max_industries
+        FROM docs
+        WHERE list_contains(struct_extract(detail, 'industries'), 'PROMO')
+        GROUP BY 1 ORDER BY brand
+    """,
     "q_customer_lookup": """
         SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         FROM customer WHERE c_custkey IN (1, 42, 100)

@@ -150,6 +150,17 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     them; the OPERATOR under test is the assign+probe plan, which is
     identical either way). Assignment = argmin L2 distance, ties to the
     lower centroid id."""
+    return (
+        _ivf_ranked(spark, sf_dir)
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+    )
+
+
+def _ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, cent_id, rk): every vector's centroids
+    ranked by L2 distance — rk=1 is the IVF assignment, rk<=p are the
+    multiprobe targets."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = (
         emb.filter(F.col("vec_id") < N_CENTROIDS)
@@ -168,10 +179,40 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "cent_id", dist2.alias("d2"))
     )
     w = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
+    return assigned.withColumn("rk", F.row_number().over(w))
+
+
+NPROBE = 2
+
+
+def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2: probe the query's two nearest centroid
+    buckets (union of buckets — recovers near-boundary neighbors the
+    single-probe variant misses, at 2/K of the corpus instead of 1/K).
+
+    Scale: same plan as q_knn_ivf — the probe set is a 2-row broadcast,
+    candidates are bucket-pruned before any cosine is computed."""
+    ranked = _ivf_ranked(spark, sf_dir)
+    assigned = ranked.filter(F.col("rk") == 1).select(
+        "vec_id", "embedding", F.col("cent_id").alias("bucket")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rk") <= NPROBE)
+    ).select(F.col("cent_id").alias("probe_bucket"))
+    query = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("query_vec")
+    )
     return (
-        assigned.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+        assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probes), F.col("bucket") == F.col("probe_bucket"))
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(_cosine(F.col("embedding"), F.col("query_vec")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
     )
 
 
@@ -202,6 +243,7 @@ QUERIES = {
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
+    "q_knn_ivf_multiprobe": q_knn_ivf_multiprobe,
     "q_embedding_neardup": q_embedding_neardup,
 }
 
@@ -223,6 +265,31 @@ _D2 = (
 )
 
 ORACLES = {
+    "q_knn_ivf_multiprobe": f"""
+        WITH cents AS (
+            SELECT vec_id AS cent_id, embedding AS cent_vec
+            FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        ),
+        ranked AS (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_D2}, c.cent_id) AS rk
+            FROM embeddings e, cents c
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cent_id AS bucket FROM ranked WHERE rk = 1
+        ),
+        probes AS (
+            SELECT cent_id AS probe_bucket FROM ranked
+            WHERE vec_id = {QUERY_VEC_ID} AND rk <= {NPROBE}
+        ),
+        q AS (SELECT embedding AS query_vec FROM assigned WHERE vec_id = {QUERY_VEC_ID})
+        SELECT vec_id, bucket,
+               round({_cos_sql("embedding", "query_vec")}, 4) AS cosine
+        FROM assigned JOIN probes ON bucket = probe_bucket, q
+        WHERE vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    """,
     "q_knn_ivf": f"""
         WITH cents AS (
             SELECT vec_id AS cent_id, embedding AS cent_vec

@@ -74,14 +74,29 @@ def host_for_index(i: int) -> str:
     return f"host{h % N_HOSTS}.example.com"
 
 
+# unicode article titles (reference MakeURLs.py:4-26 builds Wikipedia
+# URLs from titles and percent-encodes them, MakeURLs.py:19-21) —
+# every canonicalizer must produce the same %XX bytes for these
+_UNICODE_TITLES = [
+    "Café", "München", "Les_Misérables", "中文条目", "Škoda",
+    "Андрей", "🎓_emoji_title", "São_Paulo",
+]
+
+
 def seed_urls(n: int) -> list[str]:
     """Raw (pre-normalization) seed list: mixes http://, https://,
     schemeless and whitespace-padded forms plus periodic duplicates —
-    the shapes normalize_url must handle (reference app_wrapper.py:13-22)."""
+    the shapes normalize_url must handle (reference app_wrapper.py:13-22).
+    Every 13th seed carries a unicode title slug (reference
+    MakeURLs.py percent-encoding contract), so crawl goldens exercise
+    the canonicalizer's %XX path end-to-end."""
     out: list[str] = []
     for i in range(n):
         host = host_for_index(i)
-        slug = hashlib.md5(f"seed|{i}".encode()).hexdigest()[:10]
+        if i % 13 == 5:
+            slug = _UNICODE_TITLES[_h64(str(i), "uslug") % len(_UNICODE_TITLES)]
+        else:
+            slug = hashlib.md5(f"seed|{i}".encode()).hexdigest()[:10]
         url = f"{host}/p/{slug}"
         form = _h64(str(i), "form") % 4
         if form == 0:

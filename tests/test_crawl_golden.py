@@ -44,6 +44,19 @@ def test_reference_rate_gate_timestamps(parity):
     assert all(g >= 333 for g in gaps)  # 3 rps -> >= 1/3 s between fetches
 
 
+def test_reference_percent_encoded_titles_crawled(parity):
+    """Unicode title slugs (reference MakeURLs.py percent-encoding
+    contract) must appear as %XX-encoded canonical URLs in the fetch
+    log — proves the engine's JVM-side encoder and the oracle's
+    quote() twin emit identical bytes end-to-end."""
+    _, oracle, out = parity
+    urls = [r["url"] for r in out.fetch_log.collect()]
+    encoded = [u for u in urls if "%" in u]
+    assert encoded  # fixture exercises the path
+    assert all(u.isascii() for u in urls)
+    assert sorted(encoded) == sorted(u for u in (r["url"] for r in oracle.fetch_log) if "%" in u)
+
+
 def test_reference_seen_set_with_multiplicity(parity):
     _, oracle, out = parity
     got = {r["url"]: r["multiplicity"] for r in out.seen.collect()}
