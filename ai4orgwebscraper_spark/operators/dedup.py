@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai4orgwebscraper_spark.operators.text import _tokens
@@ -178,12 +178,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = d.select(
         "doc_id", "source", F.explode(F.array_distinct(shingle_expr)).alias("shingle")
     )
-    wdf = Window.partitionBy("source", "shingle")
-    shingles = (
-        shingles.withColumn("__df", F.count("*").over(wdf))
-        .filter(F.col("__df") <= MAX_SHINGLE_DF)
-        .drop("__df")
+    # df computed as a hash agg + left_anti against the (small) hot
+    # set, NOT a count-over-window: the window forces a full sort of
+    # the shingle stream, the agg is map-side-combined and the hot list
+    # broadcast-able (2.0s vs 5.6s cold at sf0.1, same rows)
+    hot = (
+        shingles.groupBy("source", "shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > MAX_SHINGLE_DF)
+        .select("source", "shingle")
     )
+    shingles = shingles.join(hot, ["source", "shingle"], "left_anti")
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -230,13 +235,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw MinHash-LSH candidate pairs (doc_a < doc_b), deduped;
     over-dense buckets suppressed (MAX_BUCKET)."""
-    from pyspark.sql import Window
-
     bands = minhash_bands(spark, sf_dir)
-    wsize = Window.partitionBy("band_key")
-    bands = bands.withColumn("__bsize", F.count("*").over(wsize)).filter(
-        F.col("__bsize") <= MAX_BUCKET
-    ).drop("__bsize")
+    # same agg+anti-join shape as the hot-shingle cap (no sort-window)
+    hot = (
+        bands.groupBy("band_key")
+        .agg(F.count("*").alias("__bsize"))
+        .filter(F.col("__bsize") > MAX_BUCKET)
+        .select("band_key")
+    )
+    bands = bands.join(hot, ["band_key"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     return (

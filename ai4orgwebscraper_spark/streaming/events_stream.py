@@ -70,7 +70,44 @@ def q_events_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_tumbling_counts(spark, sf_dir)
 
 
-QUERIES = {"q_events_window_stream": q_events_window_stream}
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates over a streaming source —
+    the streaming twin of q_dedup_exact (stateful distinct; at scale
+    the state store is RocksDB-backed and keyed on the dedup columns,
+    the same partitioned-seen-set shape as the frontier's URL dedup).
+    Result is arrival-order independent (a distinct set), so the batch
+    SQL oracle can check it exactly."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_distinct_users"))
+    )
+    name = "dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {name}")  # noqa: S608 — generated name
+    return out.select("event_type", "n_distinct_users").orderBy("event_type")
+
+
+QUERIES = {
+    "q_events_window_stream": q_events_window_stream,
+    "q_events_stream_dedup": q_events_stream_dedup,
+}
 
 ORACLES = {
     "q_events_window_stream": """
@@ -80,5 +117,10 @@ ORACLES = {
         FROM events
         GROUP BY 1, 2
         ORDER BY window_start, event_type
+    """,
+    "q_events_stream_dedup": """
+        SELECT event_type, count(*) AS n_distinct_users
+        FROM (SELECT DISTINCT user_id, event_type FROM events)
+        GROUP BY event_type ORDER BY event_type
     """,
 }
