@@ -371,15 +371,33 @@ class CrawlEngine:
         # collected to the driver (shard-co-partitioned membership,
         # frontier/bloom.py). Each part is parquet-spilled so its
         # lineage doesn't chain across rounds.
+        #
+        # "auto" is a real threshold policy: the prefilter only pays for
+        # itself once the seen set is large enough that the exact
+        # anti-join's build side hurts — below the threshold the two
+        # extra Python stages per round (shard build + cogroup test)
+        # cost more than they save. The estimate is a deterministic
+        # upper bound (fetches x max fan-out), so activation — like
+        # everything else here — is a pure function of crawl history;
+        # and the prefilter is result-transparent either way.
         bloom_parts: list = []
-        bloom_enabled = self.use_bloom_prefilter in (True, "auto")
-        if bloom_enabled:
+        bloom_threshold = int(
+            os.environ.get("SPARK_GRAFT_BLOOM_AUTO_THRESHOLD", "1000000")
+        )
+        seen_est = seq_counter * 5  # resume-safe deterministic proxy
+        bloom_active = self.use_bloom_prefilter is True
+
+        def _bloom_catchup() -> None:
             from ai4orgwebscraper_spark.frontier import bloom as B
 
-            bloom_parts = [
-                self._spill(B.build_bloom_shards(p), f"bloom_init{i}", 0, keep=True)
-                for i, p in enumerate(seen_parts)
-            ]
+            for i, p in enumerate(seen_parts):
+                if i >= len(bloom_parts):
+                    bloom_parts.append(
+                        self._spill(B.build_bloom_shards(p), f"bloom_init{i}", 0, keep=True)
+                    )
+
+        if bloom_active:
+            _bloom_catchup()
 
         rounds_done = start_round
         round_metrics: dict[str, dict] = {}
@@ -525,7 +543,10 @@ class CrawlEngine:
             # anti-join against the delta keys (the authority).
             # Result-transparent by construction — golden tests pass
             # with it on or off.
-            if bloom_enabled:
+            if self.use_bloom_prefilter == "auto" and not bloom_active and seen_est > bloom_threshold:
+                bloom_active = True
+                _bloom_catchup()  # backfill shard parts for prior deltas
+            if bloom_active:
                 from ai4orgwebscraper_spark.frontier import bloom as B
 
                 flagged = B.prefilter_new(offer_counts, bloom_parts)
@@ -569,7 +590,8 @@ class CrawlEngine:
                 "url_hash", "url", "first_seen_round", "multiplicity"
             )
             seen_parts.append(seen_delta)
-            if bloom_enabled:
+            seen_est += n_fetched * 5
+            if bloom_active:
                 # expected cardinality from this round's fetch volume
                 # (outlink fan-out <= 5) — skips a count() job
                 bloom_parts.append(

@@ -61,6 +61,7 @@ def main() -> None:
     out.fetch_log.write.mode("overwrite").parquet(f"{args.out}/fetch_log")
     out.documents.write.mode("overwrite").parquet(f"{args.out}/documents")
     out.seen.write.mode("overwrite").parquet(f"{args.out}/seen")
+    engine.close()  # outputs are written; release spills + caches
     n = spark.read.parquet(f"{args.out}/fetch_log").count()
     metrics = dict(out.metrics, urls_fetched=n, wall_seconds=round(time.time() - t0, 2))
     with open(f"{args.out.rstrip('/')}_metrics.json", "w") as f:

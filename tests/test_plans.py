@@ -66,3 +66,46 @@ def test_global_seq_correct_and_distributed(spark):
     # the plan must NOT collapse to a single-partition global window
     plan = _physical(out)
     assert "SinglePartition" not in plan
+
+
+def test_all_oracle_query_plans_free_of_scale_antipatterns(spark):
+    """Sweep every SQL-oracled query's executed plan for the shapes
+    that break at 100x data: cartesian products, unintended
+    nested-loop joins, unbounded single-partition windows, and
+    row-at-a-time Python UDFs. (VERDICT r01 flagged three of these;
+    this pins the fixes.)"""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    # 1-row broadcast of the query vector is an intentional
+    # BroadcastNestedLoopJoin (a cross join with one row)
+    NESTED_OK = {
+        "q_knn_bruteforce", "q_knn_lsh", "q_knn_ivf",
+        "q_knn_ivf_multiprobe", "q_embedding_neardup",
+    }
+    # streaming queries execute eagerly inside; crawl entries are not
+    # single DataFrames
+    SKIP = {
+        "q_events_window_stream", "q_events_stream_dedup",
+    }
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    bad: list[tuple[str, str]] = []
+    for name in sorted(oracles):
+        if name in SKIP or name not in qs:
+            continue
+        plan = _physical(qs[name](spark, SF))
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in NESTED_OK:
+            bad.append((name, "BroadcastNestedLoopJoin"))
+        if (
+            "Exchange SinglePartition" in plan
+            and "Window" in plan
+            and "TakeOrderedAndProject" not in plan
+        ):
+            bad.append((name, "global window without TakeOrdered bound"))
+        if "BatchEvalPython" in plan:
+            bad.append((name, "row-at-a-time Python UDF"))
+    assert not bad, bad
