@@ -152,7 +152,30 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type
+    (p50/p90/p99). Spark `percentile` and DuckDB `quantile_cont` share
+    the linear-interpolation definition; rounding pins the float tail.
+
+    Scale: exact percentile sorts per group — at 100TB you'd switch the
+    same call site to percentile_approx (t-digest, mergeable partial
+    aggs); exactness here is what makes the cross-engine oracle
+    possible."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "q_events_percentiles": q_events_percentiles,
     "q_events_cube": q_events_cube,
     "q_pivot_value_by_type": q_pivot_value_by_type,
     "q_events_by_type": q_events_by_type,
@@ -164,6 +187,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_events_percentiles": """
+        SELECT event_type, count(*) AS n_events,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "q_events_cube": """
         SELECT event_type, user_id % 3 AS user_bucket, count(*) AS n,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -67,6 +67,30 @@ def run_crawl(spark, n_urls: int) -> tuple[int, float]:
     return fetched, dt
 
 
+BFS_BENCH_SEEDS = int(os.environ.get("SPARK_GRAFT_BFS_SEEDS", "50000"))
+
+
+def run_bfs_crawl(spark, n_seeds: int) -> tuple[int, float]:
+    """Scale-mode frontier job: multi-round BFS with dedup (anti-join +
+    auto bloom), per-host admission, cross-round clock, outlink
+    discovery to depth 1, retry path, parquet state spills. Host
+    budgets are opened wide so the bench measures the machinery, not
+    the politeness wait."""
+    from ai4orgwebscraper_spark.frontier.engine import CrawlEngine
+    from ai4orgwebscraper_spark.sources.corpus import distributed_seed_urls
+
+    engine = CrawlEngine(
+        spark, hosts=[], default_rps=100000.0, round_seconds=10.0,
+        max_depth=1, max_rounds=12,
+    )
+    t0 = time.time()
+    out = engine.run(distributed_seed_urls(spark, n_seeds))
+    fetched = out.fetch_log.count()
+    dt = time.time() - t0
+    engine.close()
+    return fetched, dt
+
+
 def main_default(sf_dir: str, cpus: int) -> None:
     from ai4orgwebscraper_spark.session import get_spark
 
@@ -99,6 +123,12 @@ def main_default(sf_dir: str, cpus: int) -> None:
     times["crawl_frontier"] = crawl_dt
     ups = round(fetched / crawl_dt, 1)
 
+    # scale-mode BFS frontier (rounds + dedup + discovery), single run.
+    # Reported in its own top-level fields, NOT in `queries`/`value`,
+    # so the headline total stays comparable round-over-round.
+    bfs_fetched, bfs_dt = run_bfs_crawl(spark, BFS_BENCH_SEEDS)
+    bfs_ups = round(bfs_fetched / bfs_dt, 1)
+
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -112,6 +142,9 @@ def main_default(sf_dir: str, cpus: int) -> None:
                 "frontier_urls_per_sec": ups,
                 "frontier_urls": fetched,
                 "crawl_runs_sec": crawl_runs,
+                "bfs_seconds": round(bfs_dt, 3),
+                "bfs_urls_per_sec": bfs_ups,
+                "bfs_urls": bfs_fetched,
                 "cpus": cpus,
             }
         )

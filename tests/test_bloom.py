@@ -60,11 +60,15 @@ def test_prefilter_column(spark):
     assert sum(1 for k in absent if flagged[k]) < 25
 
 
-def test_engine_result_transparent(spark):
-    """BFS outputs identical with the bloom prefilter on vs off."""
+def test_engine_result_transparent(spark, monkeypatch):
+    """BFS outputs identical with the bloom prefilter always-on,
+    always-off, AND 'auto' forced to activate mid-crawl (threshold 100
+    — exercises the catch-up backfill of shard parts for
+    pre-activation deltas)."""
+    monkeypatch.setenv("SPARK_GRAFT_BLOOM_AUTO_THRESHOLD", "100")
     seeds = seed_urls(40)
     outs = {}
-    for flag in (True, False):
+    for flag in (True, False, "auto"):
         eng = CrawlEngine(
             spark, hosts=default_hosts(), max_depth=1, max_rounds=10,
             use_bloom_prefilter=flag,
@@ -75,3 +79,4 @@ def test_engine_result_transparent(spark):
             sorted((r["url_hash"], r["multiplicity"]) for r in out.seen.collect()),
         )
     assert outs[True] == outs[False]
+    assert outs["auto"] == outs[True]
