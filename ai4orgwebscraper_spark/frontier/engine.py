@@ -450,6 +450,10 @@ class CrawlEngine:
                 .select(
                     "url_hash", "url", "host", "depth", "priority", "seed_rank",
                     "attempts", "fetched_at_ms",
+                    # C7 session state rides the admitted row into the
+                    # fetch (hosts absent from the table need no auth)
+                    F.coalesce(F.col("auth_required"), F.lit(False)).alias("auth_required"),
+                    F.col("session_token"),
                 )
             )
             # global seq on the slim admitted rows, pre-fetch

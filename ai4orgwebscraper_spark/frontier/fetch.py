@@ -35,9 +35,23 @@ def _fetch_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     # fetcher (C6; reference web_scraper.py:46-48). Rows predate the
     # retry feature in old checkpoints, so default to 0.
     attempts = pdf["attempts"] if "attempts" in pdf.columns else pd.Series(0, index=pdf.index)
+    # C7 session/auth: an auth-required host without a session token
+    # yields 401 error rows (reference holds a requests.Session; the
+    # network login itself is out of scope, the state is modeled)
+    if "auth_required" in pdf.columns:
+        unauthed = pdf["auth_required"].fillna(False).astype(bool) & pdf[
+            "session_token"
+        ].isna()
+    else:
+        unauthed = pd.Series(False, index=pdf.index)
     statuses, errors, titles, lats, spans_col, links_col = [], [], [], [], [], []
-    for url, uh, host, att in zip(pdf["url"], pdf["url_hash"], pdf["host"], attempts):
+    for url, uh, host, att, noauth in zip(
+        pdf["url"], pdf["url_hash"], pdf["host"], attempts, unauthed
+    ):
         page = page_from_parts(url, uh, host, js=att > 0)
+        if noauth:
+            page.status, page.error = 401, "HTTP 401"
+            page.title, page.spans, page.outlinks = None, [], []
         statuses.append(page.status)
         errors.append(page.error)
         titles.append(page.title)

@@ -170,6 +170,12 @@ def bfs_crawl(
             fetched_at = start_ms[host] + int(k * gap_ms)
             last_fetch[host] = fetched_at
             page = page_for(canon, js=attempts > 0)
+            cfg = host_cfg.get(host, default_cfg)
+            if cfg.get("auth_required") and not cfg.get("session_token"):
+                # C7: auth-required host without a session token → 401
+                # error row (fetch.py twin)
+                page.status, page.error = 401, "HTTP 401"
+                page.title, page.spans, page.outlinks = None, [], []
             res.fetch_log.append(
                 {
                     "seq": seq,

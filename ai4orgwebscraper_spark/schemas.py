@@ -66,6 +66,14 @@ HOSTS = T.StructType(
         T.StructField("crawl_delay_s", T.DoubleType(), True),
         T.StructField("robots_disallow", T.ArrayType(T.StringType()), True),
         T.StructField("token_capacity", T.DoubleType(), False),
+        # C7 session/auth state (reference web_scraper_js.py:26,155:
+        # requests.Session cookie reuse; :319-393 basic/form auth).
+        # Network auth itself is out of engine scope (SURVEY §7.4); the
+        # STATE is modeled: a host may require a session and carries an
+        # opaque token. Fetches of an auth-required host without a token
+        # are 401 error rows — deterministically, on engine and oracle.
+        T.StructField("auth_required", T.BooleanType(), True),
+        T.StructField("session_token", T.StringType(), True),
     ]
 )
 

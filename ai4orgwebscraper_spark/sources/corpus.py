@@ -248,7 +248,12 @@ def distributed_seed_urls(spark, n: int):
 def default_hosts() -> list[dict]:
     """Per-host politeness state (FIXTURES.md §1 `hosts`): 3.0 rps
     default — the reference's global rate (web_scraper.py:18-19)
-    applied per host; the hot host gets a synthetic robots entry."""
+    applied per host; the hot host gets a synthetic robots entry.
+
+    C7 session/auth fixtures: host7 requires a session AND holds a
+    valid token (fetches behave normally — the session is "logged
+    in"); host13 requires a session but has NO token, so every fetch
+    of it is a 401 error row (engine and oracle in lockstep)."""
     rows = []
     for i in range(N_HOSTS):
         host = f"host{i}.example.com"
@@ -259,6 +264,8 @@ def default_hosts() -> list[dict]:
                 "crawl_delay_s": 1.0 if host == SKEW_HOST else None,
                 "robots_disallow": ["/private/"] if host == SKEW_HOST else [],
                 "token_capacity": 30.0,
+                "auth_required": i in (7, 13),
+                "session_token": "sess-host7" if i == 7 else None,
             }
         )
     return rows

@@ -131,6 +131,28 @@ def test_bfs_403_retry_via_js_fetcher(bfs):
     assert [(r["url"], r["round"], r["fetched_at_ms"]) for r in retries] == want
 
 
+def test_bfs_session_auth_state(bfs):
+    """C7 session/auth state (reference web_scraper_js.py:26,155 —
+    requests.Session reuse; auth flows out of network scope, state
+    modeled): host13 requires a session and has no token → every fetch
+    is a 401 error row, no content, no outlinks followed; host7
+    requires a session and HAS a token → behaves like any logged-in
+    host (normal status mix)."""
+    oracle, out = bfs
+    rows = out.fetch_log.collect()
+    h13 = [r for r in rows if r["host"] == "host13.example.com"]
+    h7 = [r for r in rows if r["host"] == "host7.example.com"]
+    assert h13, "fixture must include the token-less auth host"
+    assert all(r["status"] == 401 and r["error"] == "HTTP 401" for r in h13)
+    assert h7 and any(r["status"] == 200 for r in h7)  # token grants access
+    # no 401 page may contribute documents
+    doc_ids = {r["doc_id"] for r in out.documents.collect()}
+    assert not ({r["url_hash"] for r in h13} & doc_ids)
+    # oracle lockstep on the auth rows specifically
+    want_401 = sorted(x["url"] for x in oracle.fetch_log if x["status"] == 401)
+    assert sorted(r["url"] for r in rows if r["status"] == 401) == want_401
+
+
 def test_bfs_politeness_gap_across_round_boundaries(bfs):
     """The cross-round clock: per-host inter-fetch gaps hold ACROSS
     round boundaries, not just within a round (VERDICT r01 item 8)."""
