@@ -90,6 +90,34 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the full multimodal→ANN pipeline — binary payloads →
+    mapInPandas fake encoder → JVM-side cosine top-k (the exact plumbing
+    a CLIP-embedding dedup/search pipeline needs; encoder stubbed,
+    everything around it real). Exact-match oracle lives in
+    tests/test_multimodal.py (pure-Python twin of encoder + cosine)."""
+    from pyspark.sql import functions as F
+
+    from ai4orgwebscraper_spark.operators import multimodal as mm
+    from ai4orgwebscraper_spark.operators.similarity import _cosine
+
+    emb = mm.embed_media(mm.synthetic_media(spark, n=96), fake=True)
+    query = emb.filter(F.col("media_ref") == "/media/0000").select(
+        F.col("embedding").alias("query_vec")
+    )
+    return (
+        emb.filter(F.col("media_ref") != "/media/0000")
+        .crossJoin(F.broadcast(query))
+        .select(
+            "media_ref",
+            "media_type",
+            F.round(_cosine(F.col("embedding"), F.col("query_vec")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "media_ref")
+        .limit(10)
+    )
+
+
 def _html_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the H-series field extractor over deterministic HTML
     rendered from the synthetic corpus spans."""
@@ -138,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["crawl_bfs_frontier"] = _crawl_bfs_log
     out["crawl_documents_spans"] = _crawl_documents
     out["multimodal_decode"] = _multimodal_decode
+    out["multimodal_knn"] = _multimodal_knn
     out["html_parse_fields"] = _html_parse_fields
     return out
 

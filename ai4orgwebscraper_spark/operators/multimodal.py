@@ -109,3 +109,51 @@ def frame_sample(df: DataFrame, every_ms: int = 5000, fake: bool = False) -> Dat
     return videos.withColumn(
         "frame_id", F.md5(F.concat_ws("@", "media_ref", "frame_ts_ms"))
     )
+
+
+EMBED_DIM = 16
+
+
+def _fake_embed(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a learned encoder: L2-normalized
+    16-bucket byte histogram. A real CLIP/wav2vec encoder plugs in
+    here with the identical mapInPandas shape."""
+    vec = [0.0] * EMBED_DIM
+    if payload:
+        for b in payload:
+            vec[b % EMBED_DIM] += 1.0
+        norm = sum(v * v for v in vec) ** 0.5
+        if norm > 0:
+            vec = [v / norm for v in vec]
+    return [round(v, 6) for v in vec]
+
+
+def embed_media(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Media → embedding stage (the multimodal half of the similarity
+    pipeline): mapInPandas over MEDIA rows emitting array<float>
+    embeddings that feed directly into the ANN operators
+    (operators/similarity.py). Payloads stay columnar through Arrow."""
+
+    def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not fake:
+                raise NotImplementedError(
+                    "real media encoders require torch/PIL/av — not in this "
+                    "container; pass fake=True for the deterministic stub"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "embedding": [
+                        _fake_embed(bytes(p) if p is not None else b"")
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(
+        embed_batches, schema="media_ref string, media_type string, embedding array<float>"
+    )

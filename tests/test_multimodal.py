@@ -52,3 +52,44 @@ def test_frame_sample_counts(spark):
     ids = sorted(r["frame_id"] for r in frames)
     ids2 = sorted(r["frame_id"] for r in mm.frame_sample(media, every_ms=5000, fake=True).collect())
     assert ids == ids2
+
+
+def test_embed_media_matches_python_twin(spark):
+    """The mapInPandas encoder stage must equal the pure-Python twin
+    per row, and the downstream cosine top-k (multimodal_knn driver
+    query) must equal a NumPy-free reference computation."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    from ai4orgwebscraper_spark.operators import multimodal as mm
+
+    df = mm.synthetic_media(spark, n=48)
+    got = {
+        r["media_ref"]: [round(float(v), 6) for v in r["embedding"]]
+        for r in mm.embed_media(df, fake=True).collect()
+    }
+    raw = {r["media_ref"]: bytes(r["payload"]) for r in df.collect()}
+    want = {ref: mm._fake_embed(p) for ref, p in raw.items()}
+    assert got == want
+
+    # knn twin: cosine in pure python over the float32-rounded vectors
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot / (na * nb)
+
+    full = mm.synthetic_media(spark, n=96)
+    emb = {
+        r["media_ref"]: [float(v) for v in r["embedding"]]
+        for r in mm.embed_media(full, fake=True).collect()
+    }
+    q = emb["/media/0000"]
+    expect = sorted(
+        ((round(cos(v, q), 4), ref) for ref, v in emb.items() if ref != "/media/0000"),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    rows = entrymod.queries()["multimodal_knn"](spark, "/root/testdata/sf0.001").collect()
+    assert [(r["cosine"], r["media_ref"]) for r in rows] == expect

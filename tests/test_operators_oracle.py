@@ -37,12 +37,14 @@ def test_every_query_is_registered():
         "crawl_bfs_frontier",
         "crawl_documents_spans",
         "multimodal_decode",
+        "multimodal_knn",
         "html_parse_fields",
     }
 
 
 @pytest.mark.parametrize(
-    "name", ["multimodal_decode", "html_parse_fields", "crawl_documents_spans"]
+    "name",
+    ["multimodal_decode", "multimodal_knn", "html_parse_fields", "crawl_documents_spans"],
 )
 def test_rows_only_queries_run(spark, name):
     df = _QUERIES[name](spark, SF_DIR)
