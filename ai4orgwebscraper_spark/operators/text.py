@@ -85,6 +85,26 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document extractive summary (K2 `Sum_` sink contract,
+    reference app_wrapper.py:83-109; the gpt-4o rewrite is out of
+    scope — this deterministic head-extract is the summary column the
+    sink writes, sources/seeds.py:summary_col). Pure column exprs,
+    one scan, no shuffle beyond the output sort."""
+    from ai4orgwebscraper_spark.sources.seeds import summary_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            summary_col(F.col("text")).alias("summary"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_source_tokens"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic confusion summary: a deterministic
     marker-token rule (n-gram heuristic shape) scored against the
@@ -125,6 +145,7 @@ QUERIES = {
     "q_doc_quality": q_doc_quality,
     "q_token_counts": q_token_counts,
     "q_lang_id": q_lang_id,
+    "q_doc_summaries": q_doc_summaries,
     "q_doc_fingerprint": q_doc_fingerprint,
 }
 
@@ -160,6 +181,14 @@ ORACLES = {
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
                CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
         FROM documents GROUP BY source ORDER BY source
+    """,
+    "q_doc_summaries": """
+        SELECT doc_id,
+               CASE WHEN len(string_split_regex(trim(text), '\s+')) > 24
+                    THEN array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 24), ' ') || ' ...'
+                    ELSE array_to_string(string_split_regex(trim(text), '\s+'), ' ') END AS summary,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_source_tokens
+        FROM documents ORDER BY doc_id LIMIT 100
     """,
     "q_lang_id": """
         SELECT lang,

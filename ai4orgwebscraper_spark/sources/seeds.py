@@ -9,7 +9,7 @@ computed distributedly, never partition iteration order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai4orgwebscraper_spark import schemas
@@ -86,3 +86,37 @@ def flatten_for_csv(df: DataFrame) -> DataFrame:
         else:
             cols.append(F.col(field.name))
     return df.select(*cols)
+
+
+SUMMARY_MAX_TOKENS = 24
+
+
+def summary_col(text: Column) -> Column:
+    """Deterministic extractive summary stub (K2's `Sum_` companion,
+    reference app_wrapper.py:83-109): first SUMMARY_MAX_TOKENS
+    whitespace tokens, '...' marker when truncated. The reference's
+    gpt-4o rewrite (app_wrapper.py:44-80) is an external
+    nondeterministic service — out of scope per SURVEY §7.4 — and
+    would plug in here as an optional Arrow-batched pandas UDF with
+    the identical column contract."""
+    toks = F.split(F.trim(text), r"\s+")
+    head = F.concat_ws(" ", F.slice(toks, 1, SUMMARY_MAX_TOKENS))
+    return F.when(F.size(toks) > SUMMARY_MAX_TOKENS, F.concat(head, F.lit(" ..."))).otherwise(head)
+
+
+def export_with_summary(
+    df: DataFrame, out_dir: str, key_col: str, text_col: str
+) -> dict:
+    """K2 sink shape: the main table plus a `Sum_`-prefixed companion
+    table of per-row summaries (reference writes <name>.txt and
+    Sum_<name>.txt; here both are schema-enforced table writes)."""
+    written = export_results(df, out_dir, formats=("parquet",))
+    summaries = df.select(
+        F.col(key_col),
+        summary_col(F.col(text_col)).alias("summary"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_source_tokens"),
+    )
+    sum_path = f"{out_dir}/Sum_parquet"
+    summaries.write.mode("overwrite").parquet(sum_path)
+    written["summary"] = sum_path
+    return written

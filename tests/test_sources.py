@@ -82,3 +82,31 @@ def test_seed_ranks_survive_repartition(spark, tmp_path):
     df = seeds_from_text_file(spark, str(p)).repartition(8)
     got = [r["url"] for r in df.orderBy("seed_rank").collect()]
     assert got == urls
+
+
+def test_export_with_summary_sink(spark, tmp_path):
+    """K2 sink shape: main table + Sum_ companion with the
+    deterministic extractive summary (truncation marker included)."""
+    from ai4orgwebscraper_spark.sources.seeds import (
+        SUMMARY_MAX_TOKENS,
+        export_with_summary,
+    )
+
+    rows = [
+        ("d1", "short doc"),
+        ("d2", " ".join(f"w{i}" for i in range(SUMMARY_MAX_TOKENS + 10))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    written = export_with_summary(df, str(tmp_path / "out"), "doc_id", "text")
+    summaries = {
+        r["doc_id"]: (r["summary"], r["n_source_tokens"])
+        for r in spark.read.parquet(written["summary"]).collect()
+    }
+    assert summaries["d1"] == ("short doc", 2)
+    long_sum, n = summaries["d2"]
+    assert n == SUMMARY_MAX_TOKENS + 10
+    assert long_sum.endswith(" ...")
+    assert long_sum.split(" ")[:3] == ["w0", "w1", "w2"]
+    assert len(long_sum.split(" ")) == SUMMARY_MAX_TOKENS + 1  # + '...'
+    # main table written alongside
+    assert spark.read.parquet(written["parquet"]).count() == 2
