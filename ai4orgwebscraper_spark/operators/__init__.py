@@ -15,11 +15,12 @@ from ai4orgwebscraper_spark.operators import (  # noqa: F401
     multimodal,
     relational,
     similarity,
+    temporal,
     text,
 )
 
 QUERIES = {}
 ORACLES = {}
-for _m in (relational, analytics, text, dedup, similarity):
+for _m in (relational, analytics, text, dedup, similarity, temporal):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
