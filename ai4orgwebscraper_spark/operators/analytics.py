@@ -174,7 +174,37 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregation via Spark's native session_window
+    (30-min inactivity gap): one row per (user, session) with start,
+    size and value — the session-window twin of q_events_sessionized's
+    per-user counts. Works identically as a Structured Streaming
+    groupBy (same function, plus a watermark).
+
+    Oracle: the lag>gap chaining + running-sum session ids produce the
+    same partition of events into sessions (a session extends 30min
+    past its LAST event in both definitions)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSS").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 QUERIES = {
+    "q_events_session_windows": q_events_session_windows,
     "q_events_percentiles": q_events_percentiles,
     "q_events_cube": q_events_cube,
     "q_pivot_value_by_type": q_pivot_value_by_type,
@@ -187,6 +217,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_events_session_windows": """
+        WITH marked AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%g') AS session_start,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
     "q_events_percentiles": """
         SELECT event_type, count(*) AS n_events,
                round(quantile_cont(value, 0.5), 4) AS p50,
