@@ -185,7 +185,12 @@ class CrawlEngine:
 
     def _canonical_seeds(self, seeds: DataFrame) -> DataFrame:
         """normalize (reference app_wrapper.py:13-22) + key + host —
-        pure column expressions, fully codegen'd."""
+        pure column expressions, fully codegen'd. URLs whose host the
+        JVM parser rejects (e.g. a %-encoded byte in the authority —
+        possible since the canonicalizer percent-encodes non-ASCII)
+        are DROPPED here, the P2 validity predicate applied for real;
+        the oracle twin drops exactly when host_py() is falsy, so both
+        engines agree instead of diverging on NULL-vs-'' hosts."""
         canon = U.canonicalize_col(F.col("url"))
         return (
             seeds.select("seed_rank", canon.alias("url"))
@@ -197,9 +202,10 @@ class CrawlEngine:
                 F.lit(0).alias("depth"),
                 F.col("seed_rank"),
             )
+            .filter(F.col("host").isNotNull() & (F.col("host") != ""))
         )
 
-    def _spill(self, df: DataFrame, name: str, rnd: int, keep: bool = False) -> DataFrame:
+    def _spill(self, df: DataFrame, name: str, rnd: int) -> DataFrame:
         """Truncate iterative lineage via a parquet round-trip on tmpfs.
 
         A columnar parquet write+read truncates lineage like a
@@ -327,9 +333,11 @@ class CrawlEngine:
             else None
         )
         if state is not None:
+            # pre-C6/pre-fingerprint checkpoints can't reach here: their
+            # manifests carry config_fingerprint=None and load_latest
+            # raises CheckpointMismatch — old dirs are recrawled, never
+            # shimmed
             frontier, seen_loaded, fetch_log_cum, documents_cum, start_round, seq_counter = state
-            if "attempts" not in frontier.columns:  # pre-C6 checkpoint
-                frontier = frontier.withColumn("attempts", F.lit(0))
             seen_parts = [seen_loaded]
         else:
             canon = self._canonical_seeds(seeds)
@@ -340,7 +348,7 @@ class CrawlEngine:
                 .agg(F.count("*").alias("multiplicity"))
                 .select("url_hash", "url", F.lit(0).alias("first_seen_round"), "multiplicity")
             )
-            seen_parts = [self._spill(seed_delta, "seen_delta", -1, keep=True)]
+            seen_parts = [self._spill(seed_delta, "seen_delta", -1)]
             frontier = (
                 canon.groupBy("url_hash", "url", "host")
                 .agg(F.min("seed_rank").alias("seed_rank"), F.min("depth").alias("depth"))
@@ -357,7 +365,7 @@ class CrawlEngine:
         # get the same agg over the empty log — identical code path.
         host_clock = self._spill(
             fetch_log_cum.groupBy("host").agg(F.max("fetched_at_ms").alias("__last_ms")),
-            "host_clock", start_round - 1, keep=True,
+            "host_clock", start_round - 1,
         )
 
         def _seen_keys() -> DataFrame:
@@ -393,7 +401,7 @@ class CrawlEngine:
             for i, p in enumerate(seen_parts):
                 if i >= len(bloom_parts):
                     bloom_parts.append(
-                        self._spill(B.build_bloom_shards(p), f"bloom_init{i}", 0, keep=True)
+                        self._spill(B.build_bloom_shards(p), f"bloom_init{i}", 0)
                     )
 
         if bloom_active:
@@ -510,6 +518,9 @@ class CrawlEngine:
                 U.path_col(F.col("url")).alias("__path"),
                 (F.col("depth") + 1).alias("depth"),
                 (F.col("seq") * 1000 + F.col("pos")).alias("seed_rank"),
+            ).filter(  # P2 validity: drop host-less outlinks (oracle twin:
+                # host_py() falsy) so NULL hosts never enter the frontier
+                F.col("child_host").isNotNull() & (F.col("child_host") != "")
             )
             # robots filter BEFORE seen counting (oracle semantics)
             offers = (
@@ -536,7 +547,7 @@ class CrawlEngine:
                 .agg(F.count("*").alias("multiplicity"), F.min("depth").alias("depth"),
                      F.min("seed_rank").alias("seed_rank"))
                 .withColumn("first_seen_round", F.lit(rnd)),
-                "offer_counts", rnd, keep=True,
+                "offer_counts", rnd,
             )
             _tick("offers", _t)
 
@@ -588,7 +599,7 @@ class CrawlEngine:
                 )
                 .groupBy("host")
                 .agg(F.max("__last_ms").alias("__last_ms")),
-                "host_clock", rnd, keep=True,
+                "host_clock", rnd,
             )
             seen_delta = offer_counts.select(
                 "url_hash", "url", "first_seen_round", "multiplicity"
@@ -604,7 +615,7 @@ class CrawlEngine:
                             seen_delta,
                             expected_per_shard=max(64, n_fetched * 5 // B.DEFAULT_SHARDS),
                         ),
-                        "bloom", rnd, keep=True,
+                        "bloom", rnd,
                     )
                 )
             _tick("seen delta", _t)

@@ -48,7 +48,10 @@ def reference_crawl(raw_seeds: list[str], rps: float = 3.0) -> OracleResult:
     """Reference-parity crawl: depth 0, global rate gate, dups refetched."""
     res = OracleResult()
     gap_ms = 1000.0 / rps
-    normalized = [c for c in (canonicalize_py(u) for u in raw_seeds) if c]
+    # drop empties AND host-less URLs (P2 validity — the engine's
+    # _canonical_seeds filters identically; host_py is '' exactly when
+    # the JVM parser yields NULL)
+    normalized = [c for c in (canonicalize_py(u) for u in raw_seeds) if c and host_py(c)]
     for seq, canon in enumerate(normalized):
         page = page_for(canon)
         res.fetch_log.append(
@@ -119,7 +122,7 @@ def bfs_crawl(
     enqueued: set[str] = set()
     for rank, raw in enumerate(raw_seeds):
         canon = canonicalize_py(raw)
-        if not canon:
+        if not canon or not host_py(canon):  # P2 validity twin
             continue
         res.seen[canon] = res.seen.get(canon, 0) + 1
         if canon not in enqueued:
@@ -206,6 +209,8 @@ def bfs_crawl(
                         if not child:
                             continue
                         child_host = host_py(child)
+                        if not child_host:  # P2 validity twin
+                            continue
                         ccfg = host_cfg.get(child_host, default_cfg)
                         disallow = ccfg.get("robots_disallow") or []
                         from urllib.parse import urlparse

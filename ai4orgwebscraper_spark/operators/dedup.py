@@ -175,14 +175,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))) "
         "ELSE slice(toks, 1, 0) END"
     )
-    # the shingle stream feeds FIVE consumers (df agg, anti-join left,
-    # sizes, both self-join sides) — persist raw and pruned so the
-    # explode+concat runs once, not five times (8.9s -> 2.4s cold at
-    # sf0.1). Session-scoped cache, LRU-evicted; at 100TB this is the
-    # "materialize the inverted index" step every dedup system has.
+    # the PRUNED shingle stream feeds three consumers (sizes, both
+    # self-join sides) — persist it so the explode+concat+anti-join
+    # runs once, not three times (8.9s -> 3.3s cold at sf0.1; at 100TB
+    # this is the "materialize the inverted index" step every dedup
+    # system has). One cache per query, session-scoped, LRU-evicted —
+    # deliberately NOT a second raw-stream persist, whose handle would
+    # be unreleasable after reassignment.
     shingles = d.select(
         "doc_id", "source", F.explode(F.array_distinct(shingle_expr)).alias("shingle")
-    ).persist()
+    )
     # df computed as a hash agg + left_anti against the (small) hot
     # set, NOT a count-over-window: the window forces a full sort of
     # the shingle stream, the agg is map-side-combined and the hot list
@@ -268,14 +270,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark has no recursive SQL, so components run as iterative
     min-label propagation — each iteration one join + aggregate,
-    converging in O(diameter) rounds; each step is localCheckpoint'd
-    (NOT merely persisted — persist caches partitions but leaves the
-    logical plan growing, and Catalyst analysis time doubles per
-    iteration: the sf0.1 loop went 1.2s -> 42s per iteration before
-    this, 6x faster after) and a changed-count of zero stops the loop.
-    (This is the standard large-scale connected-components pattern;
-    GraphFrames does the same under the hood.) The DuckDB oracle
-    computes the identical fixpoint with a recursive CTE.
+    converging in O(diameter) rounds; each step is spilled to a
+    parquet round-trip on tmpfs (NOT merely persisted — persist caches
+    partitions but leaves the logical plan growing, and Catalyst
+    analysis time doubles per iteration: the sf0.1 loop went
+    1.2s -> 42s per iteration before lineage truncation, 7x total;
+    and unlike localCheckpoint, superseded steps are plain files that
+    can be DELETED two iterations back, so retained state is O(2 x
+    |docs|) instead of O(iterations x |docs|) pinned block-manager
+    memory). A changed-count of zero stops the loop. (This is the
+    standard large-scale connected-components pattern; GraphFrames
+    does the same under the hood.) The DuckDB oracle computes the
+    identical fixpoint with a recursive CTE.
 
     Output: per-cluster stats (bounded by |documents|)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -283,21 +289,38 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # undirected edges, both directions
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    state_dir = tempfile.mkdtemp(prefix="cc_state_", dir=base)
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+
+    def _step_spill(df: DataFrame, i: int) -> DataFrame:
+        path = os.path.join(state_dir, f"labels_{i}")
+        df.write.mode("overwrite").parquet(path)
+        # step i-2 is referenced by nothing (i reads its own files,
+        # the changed-count compared i vs i-1) — delete eagerly
+        shutil.rmtree(os.path.join(state_dir, f"labels_{i - 2}"), ignore_errors=True)
+        return spark.read.parquet(path)
+
     adj = fwd.unionByName(rev).persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
-    for _ in range(32):  # converges in O(diameter); hard cap for safety
+    labels = _step_spill(docs.select("doc_id", F.col("doc_id").alias("label")), 0)
+    for it in range(1, 33):  # converges in O(diameter); hard cap for safety
         neighbor_min = (
             adj.join(labels, adj.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = _step_spill(
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
-            )
-            .localCheckpoint()  # eager: truncates lineage, pins the step
+            ),
+            it,
         )
         changed = (
             new_labels.alias("n")
@@ -308,6 +331,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    adj.unpersist(blocking=False)  # the returned agg reads labels only
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc_id"))

@@ -64,6 +64,9 @@ def run_crawl(spark, n_urls: int) -> tuple[int, float]:
     out = engine.run(seeds)
     fetched = out.fetch_log.count()
     dt = time.time() - t0
+    # release the run's pinned caches (global-seq base) so repeated
+    # bench runs don't measure each other's storage-memory pressure
+    engine.close()
     return fetched, dt
 
 

@@ -131,6 +131,28 @@ def test_bfs_403_retry_via_js_fetcher(bfs):
     assert [(r["url"], r["round"], r["fetched_at_ms"]) for r in retries] == want
 
 
+def test_invalid_host_urls_dropped_in_lockstep(spark):
+    """P2 validity applied for real: a unicode-host seed percent-encodes
+    into an authority the JVM parser rejects (NULL host) and host_py
+    maps to '' — BOTH engines must DROP it (never a NULL-host frontier
+    row vs ''-host oracle row divergence)."""
+    from ai4orgwebscraper_spark.frontier.oracle import bfs_crawl
+
+    seeds = seed_urls(20) + ["https://münchen.example.com/x", "https://ok.example.com/y"]
+    hosts = default_hosts()
+    oracle = bfs_crawl(seeds, hosts, max_depth=0, round_seconds=10.0, max_rounds=5)
+    eng = CrawlEngine(spark, hosts=hosts, max_depth=0, round_seconds=10.0, max_rounds=5)
+    out = eng.run(eng.seeds_from_list(seeds))
+    log = out.fetch_log.orderBy("seq").collect()
+    assert [(r["url"], r["fetched_at_ms"]) for r in log] == [
+        (x["url"], x["fetched_at_ms"]) for x in oracle.fetch_log
+    ]
+    urls = {r["url"] for r in log}
+    assert not any("m%C3%BCnchen" in u for u in urls)  # invalid host dropped
+    assert any("ok.example.com" in u for u in urls)  # valid neighbor kept
+    assert all(r["host"] for r in log)  # no NULL/empty hosts anywhere
+
+
 def test_bfs_session_auth_state(bfs):
     """C7 session/auth state (reference web_scraper_js.py:26,155 —
     requests.Session reuse; auth flows out of network scope, state
