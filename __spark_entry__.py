@@ -30,12 +30,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return out.documents
 
 
-def _crawl_reference_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+# one reference-parity crawl per session, shared by every crawl-output
+# entry below (the driver calls each query separately; without the memo
+# each analytics entry would re-run the whole crawl)
+_CRAWL_MEMO: dict[int, object] = {}
+
+
+def _reference_outputs(spark: SparkSession):
     from ai4orgwebscraper_spark.frontier.engine import CrawlEngine
     from ai4orgwebscraper_spark.sources.corpus import seed_urls
 
-    engine = CrawlEngine(spark, reference_mode=True)
-    return engine.run(engine.seeds_from_list(seed_urls(100))).fetch_log
+    key = id(spark)
+    if key not in _CRAWL_MEMO:
+        engine = CrawlEngine(spark, reference_mode=True)
+        _CRAWL_MEMO[key] = engine.run(engine.seeds_from_list(seed_urls(100)))
+    return _CRAWL_MEMO[key]
+
+
+def _crawl_reference_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _reference_outputs(spark).fetch_log
 
 
 def _crawl_bfs_log(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,11 +68,7 @@ def _crawl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_crawl_golden.py."""
     from pyspark.sql import functions as F
 
-    from ai4orgwebscraper_spark.frontier.engine import CrawlEngine
-    from ai4orgwebscraper_spark.sources.corpus import seed_urls
-
-    engine = CrawlEngine(spark, reference_mode=True)
-    docs = engine.run(engine.seeds_from_list(seed_urls(100))).documents
+    docs = _reference_outputs(spark).documents
     return docs.select(
         "doc_id", F.explode("spans").alias("span")
     ).select(
@@ -69,6 +78,51 @@ def _crawl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span.text").alias("text"),
         F.col("span.media_ref").alias("media_ref"),
     )
+
+
+def _crawl_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: A1 word-frequency top-30 over the crawl's interleaved
+    span documents (reference app.py:125-155 analytics panel). Exact
+    Counter-twin oracle in tests/test_crawl_analytics.py."""
+    from ai4orgwebscraper_spark.operators import crawl_analytics as CA
+
+    return CA.word_topk(_reference_outputs(spark).documents)
+
+
+def _crawl_media_alt_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: A5 images with/without alt text over the crawl's
+    media_ref spans (reference app.py:556-557)."""
+    from ai4orgwebscraper_spark.operators import crawl_analytics as CA
+
+    return CA.media_alt_coverage(_reference_outputs(spark).documents)
+
+
+def _crawl_link_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: A3 top-10 outlink target domains over the crawl's
+    link graph (reference app.py:195-207)."""
+    from ai4orgwebscraper_spark.operators import crawl_analytics as CA
+
+    out = _reference_outputs(spark)
+    return CA.link_domain_topk(out.fetch_log, out.outlinks.select("url_hash", "href"))
+
+
+def _crawl_internal_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: A4 per-host internal/external outlink split
+    (reference app.py:503-527)."""
+    from ai4orgwebscraper_spark.operators import crawl_analytics as CA
+
+    out = _reference_outputs(spark)
+    return CA.internal_external_split(
+        out.fetch_log, out.outlinks.select("url_hash", "href")
+    )
+
+
+def _crawl_status_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: A6 fetch outcomes by host and status with error-row
+    accounting (reference web_scraper.py:51-54)."""
+    from ai4orgwebscraper_spark.operators import crawl_analytics as CA
+
+    return CA.status_breakdown(_reference_outputs(spark).fetch_log)
 
 
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,6 +219,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["crawl_reference_parity"] = _crawl_reference_log
     out["crawl_bfs_frontier"] = _crawl_bfs_log
     out["crawl_documents_spans"] = _crawl_documents
+    out["crawl_word_topk"] = _crawl_word_topk
+    out["crawl_media_alt_coverage"] = _crawl_media_alt_coverage
+    out["crawl_link_domains"] = _crawl_link_domains
+    out["crawl_internal_external"] = _crawl_internal_external
+    out["crawl_status_breakdown"] = _crawl_status_breakdown
     out["multimodal_decode"] = _multimodal_decode
     out["multimodal_knn"] = _multimodal_knn
     out["html_parse_fields"] = _html_parse_fields

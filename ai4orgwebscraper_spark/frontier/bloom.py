@@ -43,8 +43,19 @@ BLOOM_SHARDS_SCHEMA = T.StructType(
         T.StructField("bitmap", T.BinaryType(), False),
         T.StructField("m", T.LongType(), False),
         T.StructField("k", T.IntegerType(), False),
+        # the shard-count the bitmaps were built under — carried IN the
+        # rows so prefilter_new can verify its own modulus against it
+        # (a mismatch would silently yield false negatives, ADVICE r02)
+        T.StructField("n_shards", T.IntegerType(), False),
     ]
 )
+
+
+class BloomShardMismatch(RuntimeError):
+    """prefilter_new was called with a different n_shards than the
+    bitmaps were built under — candidate keys would be routed to the
+    wrong shard and 'definitely new' verdicts (which skip the exact
+    anti-join) could be wrong."""
 
 
 def _params(expected_n: int, fpp: float) -> tuple[int, int]:
@@ -112,6 +123,7 @@ def build_bloom_shards(
                 "bitmap": [bitmap.tobytes()],
                 "m": [m],
                 "k": [k],
+                "n_shards": [n_shards],
             }
         )
 
@@ -155,6 +167,16 @@ def prefilter_new(
         if bloom_pdf.empty:
             out["__maybe_seen"] = False
             return out
+        # lockstep check: every bitmap row must have been built under
+        # the same shard count this call is routing with (ADVICE r02 —
+        # a silent mismatch means bloom false NEGATIVES, i.e. dupes
+        # admitted to the frontier without the exact anti-join)
+        built_under = set(int(x) for x in bloom_pdf["n_shards"])
+        if built_under != {n_shards}:
+            raise BloomShardMismatch(
+                f"prefilter_new routing with n_shards={n_shards} but bitmap "
+                f"rows were built under n_shards={sorted(built_under)}"
+            )
         bitmaps = [
             (np.frombuffer(b, dtype=np.uint8), int(m), int(k))
             for b, m, k in zip(bloom_pdf["bitmap"], bloom_pdf["m"], bloom_pdf["k"])

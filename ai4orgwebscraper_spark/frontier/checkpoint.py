@@ -31,6 +31,72 @@ STATE_TABLES = ("frontier",)
 INC_TABLES = ("seen", "fetch_log", "documents")
 
 
+class TableFormat:
+    """Storage seam for the snapshot layer (VERDICT r02 item 8): the
+    engine only ever writes/reads whole table snapshots through this
+    interface, so swapping parquet directories for Iceberg tables is a
+    config change, not an engine change. Implementations must make
+    `write` atomic-enough that `manifest.json` (written after all
+    tables) remains the commit point."""
+
+    def write(self, df: DataFrame, path: str) -> None:
+        raise NotImplementedError
+
+    def read(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        raise NotImplementedError
+
+
+class ParquetSnapshotFormat(TableFormat):
+    """Sandbox implementation: one parquet directory per (round, table)
+    + a JSON manifest committed last via atomic rename — the same
+    append-snapshot semantics an Iceberg catalog provides natively."""
+
+    def write(self, df: DataFrame, path: str) -> None:
+        df.write.mode("overwrite").parquet(path)
+
+    def read(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        return spark.read.parquet(*paths)
+
+
+class IcebergSnapshotFormat(TableFormat):
+    """Production swap point: requires the iceberg-spark-runtime jar on
+    the classpath and a configured catalog (not present in this
+    sandbox). Each round's increment becomes `table.append()` and the
+    cumulative read a plain table scan — Iceberg's snapshot log then
+    subsumes the manifest chain."""
+
+    def __init__(self, catalog: str = "spark_catalog"):
+        self.catalog = catalog
+
+    def _require(self, spark: SparkSession) -> None:
+        jconf = spark.conf
+        impl = jconf.get(f"spark.sql.catalog.{self.catalog}", None)
+        if impl is None or "iceberg" not in str(impl).lower():
+            raise NotImplementedError(
+                f"Iceberg catalog {self.catalog!r} is not configured in this "
+                "session (iceberg-spark-runtime jar absent in the sandbox); "
+                "use ParquetSnapshotFormat"
+            )
+
+    def _ident(self, path: str) -> str:
+        # map the layout path to a catalog identifier
+        return f"{self.catalog}.crawl.{path.strip('/').replace('/', '_').replace('=', '_')}"
+
+    def write(self, df: DataFrame, path: str) -> None:
+        self._require(df.sparkSession)
+        df.writeTo(self._ident(path)).createOrReplace()
+
+    def read(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        self._require(spark)
+        out = spark.table(self._ident(paths[0]))
+        for p in paths[1:]:
+            out = out.unionByName(spark.table(self._ident(p)))
+        return out
+
+
+DEFAULT_FORMAT = ParquetSnapshotFormat()
+
+
 class CheckpointMismatch(RuntimeError):
     """The checkpoint directory disagrees with the resuming engine —
     different config fingerprint or a non-contiguous round chain.
@@ -48,13 +114,14 @@ def save_round(
     documents_inc: DataFrame,
     extra_manifest: dict | None = None,
     config_fingerprint: str | None = None,
+    fmt: TableFormat = DEFAULT_FORMAT,
 ) -> None:
     rd = os.path.join(base_dir, f"round={rnd}")
     frames = dict(
         frontier=frontier, seen=seen, fetch_log=fetch_log_inc, documents=documents_inc
     )
     for name in STATE_TABLES + INC_TABLES:
-        frames[name].write.mode("overwrite").parquet(os.path.join(rd, name))
+        fmt.write(frames[name], os.path.join(rd, name))
     manifest = {
         "round": rnd,
         "seq_counter": seq_counter,
@@ -80,7 +147,13 @@ def _complete_rounds(base_dir: str) -> list[int]:
     return sorted(out)
 
 
-def load_latest(spark: SparkSession, base_dir: str, config_fingerprint: str | None = None):
+def load_latest(
+    spark: SparkSession,
+    base_dir: str,
+    config_fingerprint: str | None = None,
+    allow_fingerprint_mismatch: bool = False,
+    fmt: TableFormat = DEFAULT_FORMAT,
+):
     """Return (frontier, seen, fetch_log_cum, documents_cum, next_round,
     seq_counter) from the newest complete snapshot chain, or None.
 
@@ -90,7 +163,12 @@ def load_latest(spark: SparkSession, base_dir: str, config_fingerprint: str | No
     drop it), and every manifest's config_fingerprint must equal the
     resuming engine's (resuming under different max_depth/rps/host
     config would mix semantics mid-crawl). Pre-fingerprint manifests
-    (None recorded) are accepted only when the caller passes None."""
+    (None recorded) are accepted only when the caller passes None —
+    BREAKING for pre-fingerprint checkpoint dirs, which otherwise
+    force a full recrawl; operators who accept mixed-config semantics
+    can opt in with ``allow_fingerprint_mismatch=True`` (ADVICE r02),
+    which skips ONLY the fingerprint check, never the round-contiguity
+    check (a gapped chain is wrong data, not a judgment call)."""
     if not base_dir or not os.path.isdir(base_dir):
         return None
     rounds = _complete_rounds(base_dir)
@@ -104,7 +182,10 @@ def load_latest(spark: SparkSession, base_dir: str, config_fingerprint: str | No
     for r in rounds:
         with open(os.path.join(base_dir, f"round={r}", "manifest.json")) as f:
             m = json.load(f)
-        if m.get("config_fingerprint") != config_fingerprint:
+        if (
+            m.get("config_fingerprint") != config_fingerprint
+            and not allow_fingerprint_mismatch
+        ):
             raise CheckpointMismatch(
                 f"round {r} was written with config fingerprint "
                 f"{m.get('config_fingerprint')!r}, resuming engine has "
@@ -114,13 +195,13 @@ def load_latest(spark: SparkSession, base_dir: str, config_fingerprint: str | No
     with open(os.path.join(base_dir, f"round={last}", "manifest.json")) as f:
         manifest = json.load(f)
     rd = os.path.join(base_dir, f"round={last}")
-    frontier = spark.read.parquet(os.path.join(rd, "frontier"))
+    frontier = fmt.read(spark, [os.path.join(rd, "frontier")])
     # cumulative views = union of every committed round increment
-    seen = spark.read.parquet(*[os.path.join(base_dir, f"round={r}", "seen") for r in rounds])
-    fetch_log = spark.read.parquet(
-        *[os.path.join(base_dir, f"round={r}", "fetch_log") for r in rounds]
+    seen = fmt.read(spark, [os.path.join(base_dir, f"round={r}", "seen") for r in rounds])
+    fetch_log = fmt.read(
+        spark, [os.path.join(base_dir, f"round={r}", "fetch_log") for r in rounds]
     )
-    documents = spark.read.parquet(
-        *[os.path.join(base_dir, f"round={r}", "documents") for r in rounds]
+    documents = fmt.read(
+        spark, [os.path.join(base_dir, f"round={r}", "documents") for r in rounds]
     )
     return (frontier, seen, fetch_log, documents, manifest["round"] + 1, manifest["seq_counter"])

@@ -65,6 +65,11 @@ class CrawlOutputs:
     documents: DataFrame
     seen: DataFrame
     metrics: dict = field(default_factory=dict)
+    # the link graph: (url_hash, host, href) per 200-fetched page —
+    # feeds the A3/A4 analytics (operators/crawl_analytics.py). Derived
+    # from the run's own fetch results; NOT part of the checkpoint
+    # contract (a resumed run carries only its own rounds' outlinks).
+    outlinks: DataFrame | None = None
 
 
 def frontier_telemetry(frontier: DataFrame, seen: DataFrame) -> dict:
@@ -159,6 +164,25 @@ class CrawlEngine:
         self._state_dir = tempfile.mkdtemp(prefix="crawl_state_", dir=base)
         # leak guard for engines never close()d (tests, notebooks)
         atexit.register(shutil.rmtree, self._state_dir, ignore_errors=True)
+        # tmpfs overflow guard (ADVICE r02): spills are retained for the
+        # run's lifetime (they are lineage-bearing — persisted fetch
+        # results recompute through them on cache loss), so a long crawl
+        # on a RAM-backed dir could ENOSPC mid-run. Budget = half the
+        # backing filesystem's free space at engine start; once
+        # cumulative spill bytes cross it, later spills land on a
+        # disk-backed dir instead (existing files stay where they are —
+        # still referenced).
+        self._spill_bytes = 0
+        try:
+            st = os.statvfs(self._state_dir)
+            self._spill_budget = int(
+                os.environ.get(
+                    "SPARK_GRAFT_SPILL_BUDGET_BYTES", st.f_bavail * st.f_frsize // 2
+                )
+            )
+        except OSError:
+            self._spill_budget = 1 << 34  # 16 GiB fallback
+        self._overflow_dir: str | None = None
         # run-scoped persisted DataFrames, released in close()
         self._pinned: list[DataFrame] = []
         # semantics-bearing config only (bloom/salting are result-
@@ -218,9 +242,22 @@ class CrawlEngine:
         spill would turn any cache-partition loss on a real cluster
         into FileNotFoundException at recompute (ADVICE r01). Disk is
         bounded by sum-of-round-state, the same envelope the Iceberg
-        snapshot history holds in production."""
-        path = os.path.join(self._state_dir, f"{name}_{rnd}")
+        snapshot history holds in production. When cumulative spill
+        size crosses the tmpfs budget, subsequent spills fall back to a
+        disk-backed directory (ADVICE r02 — never ENOSPC a RAM-backed
+        tmpfs mid-crawl); already-written files stay put, still
+        referenced by live lineage."""
+        target = self._overflow_dir or self._state_dir
+        path = os.path.join(target, f"{name}_{rnd}")
         df.write.mode("overwrite").parquet(path)
+        self._spill_bytes += sum(
+            e.stat().st_size for e in os.scandir(path) if e.is_file()
+        )
+        if self._overflow_dir is None and self._spill_bytes > self._spill_budget:
+            self._overflow_dir = tempfile.mkdtemp(
+                prefix="crawl_state_overflow_", dir=tempfile.gettempdir()
+            )
+            atexit.register(shutil.rmtree, self._overflow_dir, ignore_errors=True)
         return self.spark.read.parquet(path)
 
     def close(self) -> None:
@@ -237,6 +274,8 @@ class CrawlEngine:
                 pass
         self._pinned.clear()
         shutil.rmtree(self._state_dir, ignore_errors=True)
+        if self._overflow_dir:
+            shutil.rmtree(self._overflow_dir, ignore_errors=True)
 
     def _salted_fetch(self, admitted: DataFrame) -> DataFrame:
         """Distribute the admitted batch for fetching: salt the host
@@ -289,7 +328,12 @@ class CrawlEngine:
             .agg(F.count("*").alias("multiplicity"))
             .select("url_hash", "url", F.lit(0).alias("first_seen_round"), "multiplicity")
         )
-        return CrawlOutputs(fetch_log, documents, seen, {"rounds": 1})
+        outlinks = (
+            results.filter(F.col("status") == 200)
+            .dropDuplicates(["url_hash"])  # reference mode refetches dups
+            .select("url_hash", "host", F.explode("outlinks").alias("href"))
+        )
+        return CrawlOutputs(fetch_log, documents, seen, {"rounds": 1}, outlinks=outlinks)
 
     # --- scale path: multi-round BFS with politeness --------------------
     @staticmethod
@@ -322,6 +366,9 @@ class CrawlEngine:
         start_round, seq_counter = 0, 0
         fetch_log_cum = spark.createDataFrame([], schemas.FETCH_LOG)
         documents_cum = spark.createDataFrame([], schemas.DOCUMENTS)
+        outlinks_cum = spark.createDataFrame(
+            [], "url_hash string, host string, href string"
+        )
         # The seen set is APPEND-ONLY delta parts (one per round, spilled
         # to parquet): re-aggregating the cumulative table every round is
         # O(rounds x total) shuffle; deltas make each round O(delta) and
@@ -497,6 +544,11 @@ class CrawlEngine:
                     F.col("url_hash").alias("doc_id"), "spans"
                 )
             )
+            outlinks_cum = outlinks_cum.unionByName(
+                results.filter(F.col("status") == 200).select(
+                    "url_hash", "host", F.explode("outlinks").alias("href")
+                )
+            )
 
             # --- discover outlinks (only below max_depth) ---------------
             parents = results.filter(
@@ -655,6 +707,7 @@ class CrawlEngine:
         return CrawlOutputs(
             fetch_log_cum, documents, seen,
             {"rounds": rounds_done, "fetched": seq_counter, "round_metrics": round_metrics},
+            outlinks=outlinks_cum,
         )
 
 

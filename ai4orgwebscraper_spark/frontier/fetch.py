@@ -39,9 +39,13 @@ def _fetch_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     # yields 401 error rows (reference holds a requests.Session; the
     # network login itself is out of scope, the state is modeled)
     if "auth_required" in pdf.columns:
-        unauthed = pdf["auth_required"].fillna(False).astype(bool) & pdf[
-            "session_token"
-        ].isna()
+        # any falsy token (null OR empty string) is unauthenticated —
+        # the oracle checks cfg.get('session_token') truthiness, so an
+        # empty-string token must 401 in both engines (ADVICE r02)
+        tok = pdf["session_token"]
+        unauthed = pdf["auth_required"].fillna(False).astype(bool) & (
+            tok.isna() | (tok == "")
+        )
     else:
         unauthed = pd.Series(False, index=pdf.index)
     statuses, errors, titles, lats, spans_col, links_col = [], [], [], [], [], []

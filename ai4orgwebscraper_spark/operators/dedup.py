@@ -29,6 +29,22 @@ from ai4orgwebscraper_spark.sources.readers import load_table
 
 N_SEEDS = 8
 SEEDS_PER_BAND = 2  # -> 4 bands
+
+# one persisted DataFrame per (call-site, sf_dir): re-invoking a query
+# in the same session RELEASES the previous pin before caching the new
+# one, so repeated calls never accumulate storage memory (ADVICE r02 —
+# previously each call leaked a persist until driver GC)
+_PINNED: dict[tuple[str, str], DataFrame] = {}
+
+
+def _pin(site: str, sf_dir: str, df: DataFrame) -> DataFrame:
+    key = (site, sf_dir)
+    old = _PINNED.pop(key, None)
+    if old is not None:
+        old.unpersist(blocking=False)
+    df = df.persist()
+    _PINNED[key] = df
+    return df
 # junk-band suppression (standard LSH practice): a bucket with more
 # members than this carries no discriminative signal and would emit
 # O(size^2) pairs — at 10^10 docs a single degenerate band bucket
@@ -195,7 +211,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__df") > MAX_SHINGLE_DF)
         .select("source", "shingle")
     )
-    shingles = shingles.join(hot, ["source", "shingle"], "left_anti").persist()
+    shingles = _pin(
+        "ngram_shingles", sf_dir,
+        shingles.join(hot, ["source", "shingle"], "left_anti"),
+    )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -246,7 +265,7 @@ def lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join sides) and each recompute re-runs the K-min minhash
     # aggregation — persist so it runs once (same rationale as the
     # shingle index in q_dedup_ngram_jaccard)
-    bands = minhash_bands(spark, sf_dir).persist()
+    bands = _pin("lsh_bands", sf_dir, minhash_bands(spark, sf_dir))
     # same agg+anti-join shape as the hot-shingle cap (no sort-window)
     hot = (
         bands.groupBy("band_key")
@@ -264,29 +283,39 @@ def lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS: connected components over the LSH candidate
-    pairs; cluster id = min doc_id in the component (the keeper).
+class ConvergenceError(RuntimeError):
+    """connected_components hit its iteration cap while labels were
+    still changing — returning the partial labels would be a silent
+    wrong answer (VERDICT r02 item 2)."""
 
-    Spark has no recursive SQL, so components run as iterative
-    min-label propagation — each iteration one join + aggregate,
-    converging in O(diameter) rounds; each step is spilled to a
-    parquet round-trip on tmpfs (NOT merely persisted — persist caches
-    partitions but leaves the logical plan growing, and Catalyst
-    analysis time doubles per iteration: the sf0.1 loop went
-    1.2s -> 42s per iteration before lineage truncation, 7x total;
-    and unlike localCheckpoint, superseded steps are plain files that
-    can be DELETED two iterations back, so retained state is O(2 x
-    |docs|) instead of O(iterations x |docs|) pinned block-manager
-    memory). A changed-count of zero stops the loop. (This is the
-    standard large-scale connected-components pattern; GraphFrames
-    does the same under the hood.) The DuckDB oracle computes the
-    identical fixpoint with a recursive CTE.
 
-    Output: per-cluster stats (bounded by |documents|)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = lsh_pairs(spark, sf_dir)
-    # undirected edges, both directions
+def connected_components(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 32,
+) -> DataFrame:
+    """Connected components: nodes(doc_id), undirected edges
+    (doc_a, doc_b) → (doc_id, label) with label = min doc_id in the
+    component.
+
+    Each iteration alternates (a) min-label propagation over edges with
+    (b) a POINTER-DOUBLING jump (label := label-of-label) — the
+    large-star/small-star idea — so convergence is O(log diameter)
+    rounds, not O(diameter): a 10^6-long boilerplate chain converges in
+    ~20 rounds instead of 10^6 (VERDICT r02 item 2). The jump is sound
+    because every label value is itself a node id in the same component
+    and labels are monotonically non-increasing.
+
+    Each step is spilled to a parquet round-trip on tmpfs (NOT merely
+    persisted — persist caches partitions but leaves the logical plan
+    growing, and Catalyst analysis time doubles per iteration: the
+    sf0.1 loop went 1.2s -> 42s per iteration before lineage
+    truncation; and unlike localCheckpoint, superseded steps are plain
+    files DELETED two iterations back, so retained state is O(2 x
+    |nodes|)). A changed-count of zero stops the loop; hitting
+    ``max_iter`` with labels still moving raises ConvergenceError —
+    never a silent partial answer."""
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     import atexit
@@ -307,21 +336,33 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(path)
 
     adj = fwd.unionByName(rev).persist()
-    labels = _step_spill(docs.select("doc_id", F.col("doc_id").alias("label")), 0)
-    for it in range(1, 33):  # converges in O(diameter); hard cap for safety
+    labels = _step_spill(nodes.select("doc_id", F.col("doc_id").alias("label")), 0)
+    changed = -1
+    for it in range(1, max_iter + 1):
+        # (a) min-label propagation across edges
         neighbor_min = (
             adj.join(labels, adj.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = _step_spill(
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
-            ),
-            it,
+        propagated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
         )
+        # (b) pointer doubling: label := label(label) — halves the
+        # pointer-chain depth every iteration
+        lut = propagated.select(
+            F.col("doc_id").alias("__l_id"), F.col("label").alias("__l_lab")
+        )
+        jumped = propagated.join(
+            lut, propagated.label == F.col("__l_id"), "left"
+        ).select(
+            "doc_id",
+            F.coalesce(F.col("__l_lab"), F.col("label")).alias("label"),
+        )
+        new_labels = _step_spill(jumped, it)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -331,7 +372,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    adj.unpersist(blocking=False)  # the returned agg reads labels only
+    adj.unpersist(blocking=False)  # downstream reads labels only
+    if changed != 0:
+        raise ConvergenceError(
+            f"connected components did not converge within {max_iter} "
+            f"iterations ({changed} labels still changing)"
+        )
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the LSH candidate
+    pairs; cluster id = min doc_id in the component (the keeper).
+
+    Spark has no recursive SQL, so components run via
+    ``connected_components`` (pointer-doubled min-label propagation,
+    O(log diameter) rounds, loud non-convergence). The DuckDB oracle
+    computes the identical fixpoint with a recursive CTE.
+
+    Output: per-cluster stats (bounded by |documents|)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = connected_components(spark, docs, lsh_pairs(spark, sf_dir))
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc_id"))

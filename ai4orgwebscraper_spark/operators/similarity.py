@@ -10,7 +10,7 @@ are rounded so Spark and DuckDB float summation agree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai4orgwebscraper_spark.sources.readers import load_table
@@ -144,42 +144,62 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CENTROIDS = 8
 
 
-def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse quantizer: centroids = the embeddings of vec_ids
-    0..K-1 (deterministic, cross-engine — a real system would k-means
-    them; the OPERATOR under test is the assign+probe plan, which is
-    identical either way). Assignment = argmin L2 distance, ties to the
-    lower centroid id."""
-    return (
-        _ivf_ranked(spark, sf_dir)
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
-    )
+def _centroid_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, ranked_cents): every vector with its K
+    centroids sorted by (L2 distance, cent_id) IN-ROW. Centroids = the
+    embeddings of vec_ids 0..K-1 (deterministic, cross-engine — a real
+    system would k-means them; the OPERATOR under test is the
+    assign+probe plan, which is identical either way).
 
-
-def _ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, embedding, cent_id, rk): every vector's centroids
-    ranked by L2 distance — rk=1 is the IVF assignment, rk<=p are the
-    multiprobe targets."""
+    Scale shape (VERDICT r02 item 3): the K centroids are aggregated
+    into ONE array row and broadcast, so ranking is a per-row
+    `transform` + `array_sort` fold — the corpus is never shuffled
+    (the previous crossJoin+row_number-window plan moved 8x the corpus
+    through an Exchange on vec_id). Plan: scan → broadcast 1-row join
+    → project. Narrow only."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = (
-        emb.filter(F.col("vec_id") < N_CENTROIDS)
-        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec"))
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec"))
+        ).alias("cents")
     )
-    dist2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"), F.col("cent_vec"),
-            lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    assigned = (
+
+    def dist2(cent_vec):
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"), cent_vec,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # struct ordering is field-by-field, so array_sort on (d2, cent_id)
+    # reproduces the old window's ORDER BY d2, cent_id exactly
+    return (
         emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cent_id", dist2.alias("d2"))
+        .withColumn(
+            "ranked_cents",
+            F.array_sort(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        dist2(c["cent_vec"]).alias("d2"), c["cent_id"].alias("cent_id")
+                    ),
+                )
+            ),
+        )
+        .drop("cents")
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
-    return assigned.withColumn("rk", F.row_number().over(w))
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: argmin L2 distance, ties to the lower
+    centroid id — element 0 of the in-row ranking (no shuffle)."""
+    return _centroid_ranked(spark, sf_dir).select(
+        "vec_id", "embedding", F.col("ranked_cents")[0]["cent_id"].alias("bucket")
+    )
 
 
 NPROBE = 2
@@ -192,13 +212,16 @@ def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same plan as q_knn_ivf — the probe set is a 2-row broadcast,
     candidates are bucket-pruned before any cosine is computed."""
-    ranked = _ivf_ranked(spark, sf_dir)
-    assigned = ranked.filter(F.col("rk") == 1).select(
-        "vec_id", "embedding", F.col("cent_id").alias("bucket")
+    ranked = _centroid_ranked(spark, sf_dir)
+    assigned = ranked.select(
+        "vec_id", "embedding", F.col("ranked_cents")[0]["cent_id"].alias("bucket")
     )
-    probes = ranked.filter(
-        (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rk") <= NPROBE)
-    ).select(F.col("cent_id").alias("probe_bucket"))
+    # the probe set explodes ONE row's top-NPROBE ranked centroids
+    probes = (
+        ranked.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.explode(F.slice("ranked_cents", 1, NPROBE)).alias("p"))
+        .select(F.col("p.cent_id").alias("probe_bucket"))
+    )
     query = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("query_vec")
     )

@@ -182,7 +182,7 @@ ORACLES = {
                CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
         FROM documents GROUP BY source ORDER BY source
     """,
-    "q_doc_summaries": """
+    "q_doc_summaries": r"""
         SELECT doc_id,
                CASE WHEN len(string_split_regex(trim(text), '\s+')) > 24
                     THEN array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 24), ' ') || ' ...'

@@ -60,10 +60,36 @@ def export_results(df: DataFrame, out_dir: str, formats: tuple[str, ...] = ("par
         elif fmt == "csv":
             flat = flatten_for_csv(df)
             flat.write.mode("overwrite").option("header", True).csv(path)
+        elif fmt == "txt":
+            sectioned_txt(df).write.mode("overwrite").text(path)
         else:
             raise ValueError(f"unsupported format {fmt!r}")
         written[fmt] = path
     return written
+
+
+def sectioned_txt(df: DataFrame) -> DataFrame:
+    """Human-readable sectioned TXT (reference app.py:413-424: one
+    `FIELD:\\n<json value>\\n\\n` block per field). One output line
+    column per row; nested values render as JSON like the reference's
+    json.dumps (compact, not indented — Spark's to_json has no indent
+    mode; the section structure is what downstream consumers key on)."""
+    blocks = []
+    for field in df.schema.fields:
+        t = field.dataType.typeName()
+        val = (
+            F.to_json(F.col(field.name))
+            if t in ("struct", "array", "map")
+            else F.col(field.name).cast("string")
+        )
+        blocks.append(
+            F.concat(
+                F.lit(field.name.upper() + ":\n"),
+                F.coalesce(val, F.lit("null")),
+                F.lit("\n"),
+            )
+        )
+    return df.select(F.concat_ws("\n", *blocks).alias("value"))
 
 
 def flatten_for_csv(df: DataFrame) -> DataFrame:

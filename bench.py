@@ -46,9 +46,20 @@ HEADLINE = [
     "q_word_topk",
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
     "q_knn_bruteforce",
     "q_embedding_neardup",
 ]
+
+# interleaved repeats (VERDICT r02 item 1): the shared host's
+# hypervisor steal gives 2-3x run-to-run variance on identical jobs,
+# so a single-run-per-query protocol can't distinguish an engine
+# regression from VM noise. Each query runs N_RUNS times in
+# round-robin order (q1..qn, q1..qn, ...) so a steal spike hits ONE
+# pass of every query instead of every pass of one query; the
+# headline number is the per-query BEST (closest to true engine
+# cost), with medians + all runs recorded for honesty.
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def run_crawl(spark, n_urls: int) -> tuple[int, float]:
@@ -105,12 +116,15 @@ def main_default(sf_dir: str, cpus: int) -> None:
     # carry one-time session init
     for t in ("lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.collect()
-        times[name] = round(time.time() - t0, 3)
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(BENCH_RUNS):
+        for name in HEADLINE:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.collect()
+            runs[name].append(round(time.time() - t0, 3))
+    times = {name: min(rs) for name, rs in runs.items()}
+    medians = {name: sorted(rs)[len(rs) // 2] for name, rs in runs.items()}
 
     # frontier throughput (the BASELINE.json headline metric).
     # The shared sandbox host has multi-x steal-time swings (observed
@@ -141,6 +155,9 @@ def main_default(sf_dir: str, cpus: int) -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_median": medians,
+                "queries_runs": runs,
+                "bench_runs": BENCH_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "frontier_urls_per_sec": ups,
                 "frontier_urls": fetched,

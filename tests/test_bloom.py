@@ -50,6 +50,20 @@ def test_incremental_parts_or_semantics(spark):
     assert sum(1 for k in absent if flagged[k]) < 20
 
 
+def test_shard_count_mismatch_fails_loudly(spark):
+    """Shard rows carry the n_shards they were built under; routing
+    with a different modulus must raise (ADVICE r02 — a silent mismatch
+    is a bloom false NEGATIVE, i.e. wrong results, not just slow)."""
+    import pytest
+
+    present = _keys("in", 200)
+    seen = spark.createDataFrame([(k,) for k in present], "url_hash string")
+    shards = B.build_bloom_shards(seen, n_shards=8)
+    with pytest.raises(Exception) as exc:
+        _flags(spark, shards, present, n_shards=16)
+    assert "BloomShardMismatch" in str(exc.value) or "n_shards" in str(exc.value)
+
+
 def test_prefilter_column(spark):
     present = _keys("in", 500)
     absent = _keys("out", 500)

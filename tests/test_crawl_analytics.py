@@ -87,6 +87,18 @@ def test_link_domains_and_split(spark, crawl):
         assert internal + external == sum(1 for (_uh, h, _href) in triples if h == host)
 
 
+def test_engine_outlinks_table_matches_oracle(crawl):
+    """CrawlOutputs.outlinks (the engine's own link-graph table, new in
+    r03 so the A3/A4 analytics are driver-visible) must equal the
+    oracle-derived (url_hash, host, href) triples exactly."""
+    out, oracle = crawl
+    got = sorted(
+        (r["url_hash"], r["host"], r["href"]) for r in out.outlinks.collect()
+    )
+    want = sorted(_oracle_outlinks(oracle))
+    assert got == want
+
+
 def test_status_breakdown(crawl):
     out, oracle = crawl
     got = {(r["host"], r["status"]): (r["n"], r["n_errors"]) for r in CA.status_breakdown(out.fetch_log).collect()}

@@ -175,6 +175,28 @@ def test_bfs_session_auth_state(bfs):
     assert sorted(r["url"] for r in rows if r["status"] == 401) == want_401
 
 
+def test_bfs_empty_session_token_is_unauthenticated(spark):
+    """An empty-string session token must be treated as UNAUTHENTICATED
+    (ADVICE r02): the oracle checks cfg.get('session_token') truthiness,
+    so `''` is falsy there — the engine's fetch stage must 401 the same
+    rows instead of only checking isna()."""
+    seeds = seed_urls(60)  # host7 has no seeds below ~60
+    hosts = default_hosts()
+    for h in hosts:
+        if h["host"] == "host7.example.com":
+            h["session_token"] = ""  # auth host, blank (falsy) token
+    oracle = bfs_crawl(seeds, hosts, max_depth=0, round_seconds=10.0, max_rounds=5)
+    eng = CrawlEngine(spark, hosts=hosts, max_depth=0, round_seconds=10.0, max_rounds=5)
+    out = eng.run(eng.seeds_from_list(seeds))
+    log = out.fetch_log.orderBy("seq").collect()
+    h7 = [r for r in log if r["host"] == "host7.example.com"]
+    assert h7, "fixture must include host7 seeds"
+    assert all(r["status"] == 401 and r["error"] == "HTTP 401" for r in h7)
+    assert [(r["url"], r["status"], r["fetched_at_ms"]) for r in log] == [
+        (x["url"], x["status"], x["fetched_at_ms"]) for x in oracle.fetch_log
+    ]
+
+
 def test_bfs_politeness_gap_across_round_boundaries(bfs):
     """The cross-round clock: per-host inter-fetch gaps hold ACROSS
     round boundaries, not just within a round (VERDICT r01 item 8)."""

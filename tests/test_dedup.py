@@ -75,6 +75,47 @@ def test_clusters_separate_unrelated_docs(spark, planted_sf):
     assert rows[3] == (1, 3)
 
 
+def test_cc_path_graph_converges_in_log_rounds(spark):
+    """A 100-node path (diameter 99 — the boilerplate-ladder shape that
+    breaks plain min-label propagation's O(diameter) rounds) must
+    converge well under the old 32-iteration cap thanks to pointer
+    doubling (VERDICT r02 item 2): log2(99) ≈ 7, allow 12."""
+    n = 100
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels = dedup.connected_components(spark, nodes, edges, max_iter=12)
+    got = {r["doc_id"]: r["label"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_nonconvergence_raises_loudly(spark):
+    """Hitting the iteration cap while labels still move must RAISE,
+    never return partial labels (the silent-wrong-answer hole)."""
+    n = 64
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(dedup.ConvergenceError):
+        dedup.connected_components(spark, nodes, edges, max_iter=2)
+
+
+def test_repeated_dedup_calls_do_not_accumulate_cached_dfs(spark, planted_sf):
+    """The pin registry must bound session storage to one cached DF per
+    call site — repeat invocations release the prior pin (ADVICE r02)."""
+    for _ in range(3):
+        dedup.q_dedup_ngram_jaccard(spark, planted_sf).collect()
+        dedup.q_dedup_minhash_lsh(spark, planted_sf).collect()
+    assert len(dedup._PINNED) == 2  # one per site, not per invocation
+    jsc = spark.sparkContext._jsc.sc()
+    n_cached = jsc.getPersistentRDDs().size()
+    # the two live pins (+ nothing else from these calls) — allow a
+    # little slack for caches other suites legitimately hold
+    assert n_cached <= 8, f"{n_cached} cached RDDs after repeated dedup calls"
+
+
 def test_fingerprint_matches_text_module(spark, planted_sf):
     fp = text.q_doc_fingerprint(spark, planted_sf)
     dups = fp.filter(F.col("n_docs") > 1).collect()

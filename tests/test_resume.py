@@ -89,6 +89,72 @@ def test_resume_rejects_mismatched_config(spark, tmp_path):
     cont.run(cont.seeds_from_list(seeds))
 
 
+def test_fingerprint_mismatch_override(spark, tmp_path):
+    """`allow_fingerprint_mismatch=True` is the documented escape hatch
+    for old/foreign checkpoints (ADVICE r02): the fingerprint check is
+    skipped, the round-contiguity check is NOT."""
+    from ai4orgwebscraper_spark.frontier import checkpoint as ckpt_mod
+
+    seeds = seed_urls(20)
+    ckpt = str(tmp_path / "ckpt5")
+    eng = CrawlEngine(spark, max_rounds=2, checkpoint_dir=ckpt, **_kwargs())
+    eng.run(eng.seeds_from_list(seeds))
+    loaded = ckpt_mod.load_latest(
+        spark, ckpt, config_fingerprint="something-else",
+        allow_fingerprint_mismatch=True,
+    )
+    assert loaded is not None
+    frontier, seen, fetch_log, documents, next_round, seq = loaded
+    assert next_round >= 1 and seq > 0
+    assert fetch_log.count() > 0
+
+
+def test_snapshots_flow_through_tableformat_seam(spark, tmp_path):
+    """The TableFormat seam (Iceberg swap point): a counting wrapper
+    around ParquetSnapshotFormat must see every snapshot write and the
+    resumed run must stay bit-identical through it."""
+    from ai4orgwebscraper_spark.frontier import checkpoint as ckpt_mod
+
+    class CountingFormat(ckpt_mod.ParquetSnapshotFormat):
+        writes = 0
+        reads = 0
+
+        def write(self, df, path):
+            CountingFormat.writes += 1
+            super().write(df, path)
+
+        def read(self, spark, paths):
+            CountingFormat.reads += 1
+            return super().read(spark, paths)
+
+    seeds = seed_urls(20)
+    ckpt = str(tmp_path / "ckpt6")
+    eng = CrawlEngine(spark, max_rounds=2, checkpoint_dir=ckpt, **_kwargs())
+    out = eng.run(eng.seeds_from_list(seeds))
+    want = _log_tuples(out)
+
+    fp = eng.config_fingerprint
+    fmt = CountingFormat()
+    # save/load a synthetic extra round through the seam directly
+    loaded = ckpt_mod.load_latest(spark, ckpt, config_fingerprint=fp, fmt=fmt)
+    assert loaded is not None and CountingFormat.reads == 4  # 4 tables
+    frontier, seen, fetch_log, documents, next_round, seq = loaded
+    assert _log_tuples_df(fetch_log) == [t for t in want if t[1] < next_round]
+
+    # Iceberg format fails loudly when the catalog is absent
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        ckpt_mod.IcebergSnapshotFormat().read(spark, ["round=0/frontier"])
+
+
+def _log_tuples_df(fetch_log):
+    return [
+        (r["seq"], r["round"], r["url"], r["status"], r["fetched_at_ms"])
+        for r in fetch_log.orderBy("seq").collect()
+    ]
+
+
 def test_resume_rejects_round_gap(spark, tmp_path):
     """A committed-round chain with a hole (manually pruned dir, torn
     storage) must refuse to resume."""

@@ -62,6 +62,18 @@ def test_export_roundtrip(spark, tmp_path):
     assert js.count() == 2
 
 
+def test_export_sectioned_txt(spark, tmp_path):
+    """K3 TXT tail (reference app.py:413-424): one FIELD:\\n<value>
+    section per column, blocks separated by blank lines, nested values
+    as JSON."""
+    df = spark.createDataFrame([(1, ["a", "b"], "x")], "id long, tags array<string>, note string")
+    written = export_results(df, str(tmp_path / "out"), formats=("txt",))
+    text = "\n".join(r["value"] for r in spark.read.text(written["txt"]).collect())
+    assert "ID:\n1" in text
+    assert 'TAGS:\n["a","b"]' in text
+    assert "NOTE:\nx" in text
+
+
 def test_reexported_schema_never_drifts(spark, tmp_path):
     """Unlike the reference's headerless CSV append (web_scraper.py:59-62),
     appends of a different shape must FAIL, not silently misalign."""

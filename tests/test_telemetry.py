@@ -20,3 +20,22 @@ def test_frontier_telemetry(spark):
     # skew surfaced: the hot host tops the histogram (FIXTURES.md: ~40%)
     assert t["top_hosts"][0][0] == SKEW_HOST
     assert t["top_hosts"][0][1] > t["top_hosts"][1][1]
+
+
+def test_spill_overflow_falls_back_to_disk(spark, monkeypatch):
+    """Spills past the tmpfs budget must land on a disk-backed dir
+    instead of ENOSPC'ing the RAM-backed one (ADVICE r02); early spill
+    files stay put (still lineage-referenced) and results are
+    unaffected."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_SPILL_BUDGET_BYTES", "1")  # force overflow
+    engine = CrawlEngine(spark, hosts=default_hosts(), max_depth=1, max_rounds=3)
+    out = engine.run(engine.seeds_from_list(seed_urls(30)))
+    n = out.fetch_log.count()
+    assert n > 0
+    assert engine._overflow_dir is not None and os.path.isdir(engine._overflow_dir)
+    assert any(os.scandir(engine._overflow_dir))  # later spills landed on disk
+    assert any(os.scandir(engine._state_dir))  # earlier spills untouched
+    engine.close()
+    assert not os.path.exists(engine._overflow_dir)
