@@ -134,6 +134,10 @@ def build_bloom_shards(
     )
 
 
+# uniform seen-filter interface (engine swaps bloom/cuckoo by module)
+build_shards = build_bloom_shards
+
+
 def prefilter_new(
     candidates: DataFrame,
     shards: DataFrame | list[DataFrame],

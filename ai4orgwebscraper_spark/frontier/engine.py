@@ -145,6 +145,7 @@ class CrawlEngine:
         salt_buckets: int | None = None,
         collect_metrics: bool = False,
         use_bloom_prefilter: bool | str = "auto",
+        seen_filter: str = "bloom",
     ):
         self.spark = spark
         self.hosts_rows = hosts if hosts is not None else default_hosts()
@@ -157,6 +158,14 @@ class CrawlEngine:
         self.salt_buckets = salt_buckets
         self.collect_metrics = collect_metrics
         self.use_bloom_prefilter = use_bloom_prefilter
+        # "bloom" | "cuckoo" — which approximate seen-set prefilter the
+        # BFS path shards (frontier/bloom.py vs frontier/cuckoo.py).
+        # Result-transparent either way (exact anti-join stays the
+        # authority), so NOT part of the config fingerprint; cuckoo adds
+        # deletion support for state rollbacks.
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
+        self.seen_filter = seen_filter
         # tmpfs spill dir for iterative-state truncation (see _spill)
         base = os.environ.get("SPARK_GRAFT_STATE_DIR") or (
             "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
@@ -228,6 +237,13 @@ class CrawlEngine:
             )
             .filter(F.col("host").isNotNull() & (F.col("host") != ""))
         )
+
+    def _seen_filter_mod(self):
+        if self.seen_filter == "cuckoo":
+            from ai4orgwebscraper_spark.frontier import cuckoo as M
+        else:
+            from ai4orgwebscraper_spark.frontier import bloom as M
+        return M
 
     def _spill(self, df: DataFrame, name: str, rnd: int) -> DataFrame:
         """Truncate iterative lineage via a parquet round-trip on tmpfs.
@@ -442,13 +458,13 @@ class CrawlEngine:
         seen_est = seq_counter * 5  # resume-safe deterministic proxy
         bloom_active = self.use_bloom_prefilter is True
 
-        def _bloom_catchup() -> None:
-            from ai4orgwebscraper_spark.frontier import bloom as B
+        B = self._seen_filter_mod()
 
+        def _bloom_catchup() -> None:
             for i, p in enumerate(seen_parts):
                 if i >= len(bloom_parts):
                     bloom_parts.append(
-                        self._spill(B.build_bloom_shards(p), f"bloom_init{i}", 0)
+                        self._spill(B.build_shards(p), f"bloom_init{i}", 0)
                     )
 
         if bloom_active:
@@ -614,8 +630,6 @@ class CrawlEngine:
                 bloom_active = True
                 _bloom_catchup()  # backfill shard parts for prior deltas
             if bloom_active:
-                from ai4orgwebscraper_spark.frontier import bloom as B
-
                 flagged = B.prefilter_new(offer_counts, bloom_parts)
                 definitely_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
                 maybe_seen_rows = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
@@ -663,7 +677,7 @@ class CrawlEngine:
                 # (outlink fan-out <= 5) — skips a count() job
                 bloom_parts.append(
                     self._spill(
-                        B.build_bloom_shards(
+                        B.build_shards(
                             seen_delta,
                             expected_per_shard=max(64, n_fetched * 5 // B.DEFAULT_SHARDS),
                         ),

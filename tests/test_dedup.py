@@ -105,15 +105,17 @@ def test_cc_nonconvergence_raises_loudly(spark):
 def test_repeated_dedup_calls_do_not_accumulate_cached_dfs(spark, planted_sf):
     """The pin registry must bound session storage to one cached DF per
     call site — repeat invocations release the prior pin (ADVICE r02)."""
+    jsc = spark.sparkContext._jsc.sc()
+    pinned_before = {k for k in dedup._PINNED if k[1] == planted_sf}
+    baseline = jsc.getPersistentRDDs().size() + len(pinned_before)
     for _ in range(3):
         dedup.q_dedup_ngram_jaccard(spark, planted_sf).collect()
         dedup.q_dedup_minhash_lsh(spark, planted_sf).collect()
-    assert len(dedup._PINNED) == 2  # one per site, not per invocation
-    jsc = spark.sparkContext._jsc.sc()
-    n_cached = jsc.getPersistentRDDs().size()
-    # the two live pins (+ nothing else from these calls) — allow a
-    # little slack for caches other suites legitimately hold
-    assert n_cached <= 8, f"{n_cached} cached RDDs after repeated dedup calls"
+    assert len({k for k in dedup._PINNED if k[1] == planted_sf}) == 2
+    grown = jsc.getPersistentRDDs().size() - baseline
+    # at most the two live pins net-new — other suites' caches (shared
+    # session) are measured into the baseline, not the delta
+    assert grown <= 2, f"{grown} net-new cached RDDs after repeated dedup calls"
 
 
 def test_fingerprint_matches_text_module(spark, planted_sf):

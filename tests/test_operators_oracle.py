@@ -36,6 +36,11 @@ def test_every_query_is_registered():
         "crawl_reference_parity",
         "crawl_bfs_frontier",
         "crawl_documents_spans",
+        "crawl_word_topk",
+        "crawl_media_alt_coverage",
+        "crawl_link_domains",
+        "crawl_internal_external",
+        "crawl_status_breakdown",
         "multimodal_decode",
         "multimodal_knn",
         "html_parse_fields",
