@@ -327,6 +327,18 @@ def connected_components(
     state_dir = tempfile.mkdtemp(prefix="cc_state_", dir=base)
     atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
 
+    # Right-size the loop's shuffle width to the LABEL table, not the
+    # session default: label state is |nodes| rows (tiny next to the
+    # corpus the session conf is tuned for), and with AQE's
+    # parallelismFirst the default width never coalesces — at sf0.1
+    # that was 6 stages x 64 near-empty tasks x ~8 iterations of pure
+    # scheduling overhead (17s for 5k nodes). ~500k label rows per
+    # partition; never wider than the session default, so at 10^10
+    # nodes the width is the cluster's own. Restored in the finally.
+    n_nodes = nodes.count()
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    loop_parts = max(1, min(sess_parts, (n_nodes + 499_999) // 500_000))
+
     def _step_spill(df: DataFrame, i: int) -> DataFrame:
         path = os.path.join(state_dir, f"labels_{i}")
         df.write.mode("overwrite").parquet(path)
@@ -335,7 +347,21 @@ def connected_components(
         shutil.rmtree(os.path.join(state_dir, f"labels_{i - 2}"), ignore_errors=True)
         return spark.read.parquet(path)
 
-    adj = fwd.unionByName(rev).persist()
+    # pre-partition the adjacency ON THE JOIN KEY at loop width: the
+    # per-iteration join then reuses this partitioning (no Exchange of
+    # the edge table per round — it shuffles once here instead of once
+    # per iteration, the classic iterate-over-static-graph layout)
+    adj = fwd.unionByName(rev).repartition(loop_parts, "src").persist()
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels = _run_cc_loop(spark, adj, nodes, max_iter, _step_spill)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
+        adj.unpersist(blocking=False)  # downstream reads labels only
+    return labels
+
+
+def _run_cc_loop(spark, adj, nodes, max_iter, _step_spill) -> DataFrame:
     labels = _step_spill(nodes.select("doc_id", F.col("doc_id").alias("label")), 0)
     changed = -1
     for it in range(1, max_iter + 1):
@@ -345,10 +371,13 @@ def connected_components(
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        propagated = labels.join(neighbor_min, "doc_id", "left").select(
+        propagated = labels.withColumnRenamed("label", "__old").join(
+            neighbor_min, "doc_id", "left"
+        ).select(
             "doc_id",
+            "__old",
             F.least(
-                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                F.col("__old"), F.coalesce(F.col("nbr_label"), F.col("__old"))
             ).alias("label"),
         )
         # (b) pointer doubling: label := label(label) — halves the
@@ -361,18 +390,19 @@ def connected_components(
         ).select(
             "doc_id",
             F.coalesce(F.col("__l_lab"), F.col("label")).alias("label"),
+            # change flag computed IN the step (old label is still in
+            # hand) so the convergence check below is a cheap filter-
+            # count over the freshly spilled parquet, not a |nodes|-row
+            # self-join per iteration
+            (F.coalesce(F.col("__l_lab"), F.col("label")) != F.col("__old")).alias(
+                "__changed"
+            ),
         )
         new_labels = _step_spill(jumped, it)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
-    adj.unpersist(blocking=False)  # downstream reads labels only
     if changed != 0:
         raise ConvergenceError(
             f"connected components did not converge within {max_iter} "
