@@ -258,6 +258,53 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BENCH_DOCS = 16  # docs 0..15 stand in for the held-out benchmark suite
+
+
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which training docs share a word-
+    3-gram with the held-out benchmark set (docs 0..N_BENCH_DOCS-1 as
+    the stand-in suite) — the standard pre-training leakage check
+    (n-gram overlap against eval benchmarks).
+
+    Scale shape: the probe side is the benchmark suite's distinct
+    shingles — thousands of rows however big the corpus is — so the
+    check is ONE broadcast semi-join over the training shingle stream;
+    the corpus never shuffles. Per-source counts out (bounded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
+    shingle_expr = F.expr(
+        "CASE WHEN size(toks) >= 3 THEN "
+        "transform(sequence(1, size(toks) - 2), "
+        "  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))) "
+        "ELSE slice(toks, 1, 0) END"
+    )
+    sh = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(shingle_expr)).alias("shingle")
+    )
+    probe = (
+        sh.filter(F.col("doc_id") < N_BENCH_DOCS).select("shingle").distinct()
+    )
+    contaminated = (
+        sh.filter(F.col("doc_id") >= N_BENCH_DOCS)
+        .join(F.broadcast(probe), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    base = docs.filter(F.col("doc_id") >= N_BENCH_DOCS).select("doc_id", "source")
+    return (
+        base.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("__hit").alias("n_contaminated"),
+            F.round(F.count("__hit") / F.count("*"), 6).alias("contaminated_frac"),
+        )
+        .orderBy("source")
+    )
+
+
 def lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw MinHash-LSH candidate pairs (doc_a < doc_b), deduped;
     over-dense buckets suppressed (MAX_BUCKET)."""
@@ -470,6 +517,7 @@ QUERIES = {
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_doc_contamination": q_doc_contamination,
 }
 
 _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
@@ -629,6 +677,30 @@ ORACLES = {
             FROM contrib GROUP BY doc_id, bitpos
         )
         GROUP BY doc_id ORDER BY doc_id
+    """,
+    "q_doc_contamination": f"""
+        WITH d AS (
+            SELECT doc_id, source, {_TOKS} AS toks FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, source,
+                   unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingle
+            FROM d
+        ),
+        probe AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id < {N_BENCH_DOCS}
+        ),
+        contaminated AS (
+            SELECT DISTINCT s.doc_id FROM sh s JOIN probe p ON s.shingle = p.shingle
+            WHERE s.doc_id >= {N_BENCH_DOCS}
+        )
+        SELECT d.source, count(*) AS n_docs,
+               count(c.doc_id) AS n_contaminated,
+               round(count(c.doc_id) / count(*), 6) AS contaminated_frac
+        FROM d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+        WHERE d.doc_id >= {N_BENCH_DOCS}
+        GROUP BY d.source ORDER BY d.source
     """,
     "q_dedup_ngram_jaccard": f"""
         WITH d AS (

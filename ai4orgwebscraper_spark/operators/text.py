@@ -140,8 +140,36 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split — the assignment every
+    training-data pipeline needs before anything ships to a trainer.
+
+    Split = lexicographic band of the first two hex chars of
+    md5(doc_id): < 'cc' train (204/256 ≈ 79.7%), < 'e6' valid
+    (26/256 ≈ 10.2%), else test (≈10.2%). Pure column exprs, identical
+    bytes in Spark/DuckDB/hashlib (the repo's cross-engine md5 rule),
+    stable under any repartitioning — a doc's split never depends on
+    what else is in the batch (the property RNG-based splits lack).
+    Scale: one scan, one tiny groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "cc", "train").when(h2 < "e6", "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
 QUERIES = {
     "q_word_topk": q_word_topk,
+    "q_doc_split": q_doc_split,
     "q_doc_quality": q_doc_quality,
     "q_token_counts": q_token_counts,
     "q_lang_id": q_lang_id,
@@ -152,6 +180,14 @@ QUERIES = {
 _STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
 
 ORACLES = {
+    "q_doc_split": """
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+                    ELSE 'test' END AS split,
+               source, count(*) AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY 1, 2 ORDER BY split, source
+    """,
     "q_word_topk": f"""
         SELECT word, count(*) AS n
         FROM (

@@ -48,6 +48,7 @@ HEADLINE = [
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
     "q_knn_bruteforce",
+    "q_knn_ivf",
     "q_embedding_neardup",
 ]
 
