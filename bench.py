@@ -258,6 +258,16 @@ def main_scaling(n_urls: int, repeats: int = 3) -> None:
     eff_8_32 = (pair_best[(8, 32)][32] / pair_best[(8, 32)][8]) / 4.0
     ceiling = probe["speedup"] / 4.0
     os.makedirs("BENCH", exist_ok=True)
+    # carry forward any appendix sections (e.g. the 1M-seed BFS stress)
+    # that live below the scaling report — a --scaling rerun must not
+    # destroy independently-generated evidence
+    appendix = ""
+    if os.path.exists("BENCH/BASELINE.md"):
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        idx = old.find("\n## Scale-mode BFS stress")
+        if idx >= 0:
+            appendix = old[idx:]
     rows = "\n".join(
         f"| local[{c}], pinned to {c} cores | {results[c]['urls']:,} | "
         f"{results[c]['seconds']} | {results[c]['ups']:,} | "
@@ -299,6 +309,8 @@ the engine's single-node throughput above exceeds it by 4-5 orders of
 magnitude while preserving the reference's observable crawl semantics
 (tests/test_crawl_golden.py).
 """)
+        if appendix:
+            f.write(appendix)
     print(json.dumps({
         "eff_2_8": round(eff_2_8, 3), "eff_8_32": round(eff_8_32, 3),
         "ceiling_8_32": round(ceiling, 3),
