@@ -125,6 +125,35 @@ def _crawl_status_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CA.status_breakdown(_reference_outputs(spark).fetch_log)
 
 
+def _crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: PageRank over the crawl's link graph (outlinks
+    resolved to crawled targets) — the centrality signal a production
+    frontier folds into its priority score. Exact twin parity in
+    tests/test_graph.py."""
+    from pyspark.sql import functions as F
+
+    from ai4orgwebscraper_spark.functions import urls as U
+    from ai4orgwebscraper_spark.operators.graph import pagerank
+
+    out = _reference_outputs(spark)
+    pages = out.fetch_log.select("url_hash").distinct()
+    resolved = out.outlinks.select(
+        F.col("url_hash").alias("src"),
+        U.url_hash_col(
+            U.canonicalize_col(U.resolve_outlink_col(F.col("host"), F.col("href")))
+        ).alias("dst"),
+    )
+    edges = (
+        resolved.join(pages.select(F.col("url_hash").alias("dst")), "dst")
+        .select("src", "dst")
+        .distinct()
+    )
+    ranks = pagerank(spark, pages.select(F.col("url_hash").alias("id")), edges)
+    return ranks.select("id", F.round("rank", 10).alias("rank")).orderBy(
+        F.desc("rank"), "id"
+    )
+
+
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: binary media decode plumbing (codecs stubbed with a
     deterministic fake — operators/multimodal.py)."""
@@ -224,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["crawl_link_domains"] = _crawl_link_domains
     out["crawl_internal_external"] = _crawl_internal_external
     out["crawl_status_breakdown"] = _crawl_status_breakdown
+    out["crawl_pagerank"] = _crawl_pagerank
     out["multimodal_decode"] = _multimodal_decode
     out["multimodal_knn"] = _multimodal_knn
     out["html_parse_fields"] = _html_parse_fields

@@ -41,6 +41,7 @@ def test_every_query_is_registered():
         "crawl_link_domains",
         "crawl_internal_external",
         "crawl_status_breakdown",
+        "crawl_pagerank",
         "multimodal_decode",
         "multimodal_knn",
         "html_parse_fields",
