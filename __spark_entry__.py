@@ -43,7 +43,15 @@ def _reference_outputs(spark: SparkSession):
     key = id(spark)
     if key not in _CRAWL_MEMO:
         engine = CrawlEngine(spark, reference_mode=True)
-        _CRAWL_MEMO[key] = engine.run(engine.seeds_from_list(seed_urls(100)))
+        out = engine.run(engine.seeds_from_list(seed_urls(100)))
+        # persist the shared outputs: without this the memo only shares
+        # lazy plans and every analytics entry re-executes the whole
+        # crawl at its own collect (review r03). First consumer
+        # materializes; the rest read cache.
+        out.fetch_log.persist()
+        out.documents.persist()
+        out.outlinks.persist()
+        _CRAWL_MEMO[key] = out
     return _CRAWL_MEMO[key]
 
 

@@ -15,9 +15,12 @@ What cuckoo buys over bloom at the same fpp:
   grow, so round rollbacks force a full rebuild there;
 - slightly better space below ~1% fpp (16-bit fingerprints at 4-way
   buckets ≈ 0.0015 fpp at ~95% load).
-The standard cuckoo caveat applies: only delete keys that were
-actually inserted — deleting a never-inserted key can strip another
-key's identical fingerprint and create a false negative.
+Inserts are MULTISET: each distinct inserted key stores its own
+fingerprint copy (so deleting one inserted key can never hide another
+inserted key, even on a fingerprint collision). The standard cuckoo
+caveat still applies to NEVER-inserted keys: deleting one can strip
+some inserted key's identical fingerprint and create a false negative
+— only delete what you inserted.
 
 Hashing: fingerprint and bucket index both derive from the md5 hex key
 the engine already carries (url_hash) — deterministic across
@@ -97,14 +100,17 @@ def _alt(i: np.ndarray | int, fp: np.ndarray | int, m: int):
 
 
 def _insert_all(table: np.ndarray, i1: np.ndarray, fps: np.ndarray, m: int) -> None:
+    """MULTISET insert: every key stores its own fingerprint copy, even
+    when a distinct key already holds an identical fingerprint in an
+    overlapping bucket. This is what makes deletion sound — with a
+    dedup-on-insert, two colliding inserted keys would share ONE stored
+    copy and deleting either would silently evict the other (a false
+    negative for an inserted key, review r03). Same-key duplicates are
+    removed batch-side in build_cuckoo_shards."""
     for i, fp in zip(i1, fps):
         fp = int(fp)
         i = int(i)
-        # skip if already present in either candidate bucket (set
-        # semantics — duplicate url_hash rows insert once)
         j = _alt(i, fp, m)
-        if (table[i] == fp).any() or (table[j] == fp).any():
-            continue
         placed = False
         for b in (i, j):
             empty = np.nonzero(table[b] == 0)[0]
@@ -145,6 +151,8 @@ def build_cuckoo_shards(
     m = _pow2_buckets(expected_per_shard)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one copy per DISTINCT key (multiset across keys, set per key)
+        pdf = pdf.drop_duplicates(subset=["url_hash"])
         table = np.zeros((m, SLOTS), dtype=np.uint16)
         _insert_all(table, _i1(pdf["url_hash"], m), _fp(pdf["url_hash"]), m)
         return pd.DataFrame(
@@ -242,25 +250,38 @@ def delete_keys(
     def drop(shard_pdf: pd.DataFrame, key_pdf: pd.DataFrame) -> pd.DataFrame:
         if shard_pdf.empty:
             return pd.DataFrame(columns=[f.name for f in CUCKOO_SHARDS_SCHEMA.fields])
-        row = shard_pdf.iloc[0]
-        m = int(row["m_buckets"])
-        table = (
-            np.frombuffer(row["table"], dtype=np.uint16).reshape(m, SLOTS).copy()
-        )
+        # a shard may hold SEVERAL table rows (incremental round deltas
+        # — the same append-only structure prefilter_new ORs over);
+        # every row must survive, and a delete removes one copy from
+        # the FIRST row that holds the fingerprint (review r03: the
+        # old iloc[0] path silently discarded all later rows)
+        tables = [
+            np.frombuffer(r["table"], dtype=np.uint16)
+            .reshape(int(r["m_buckets"]), SLOTS)
+            .copy()
+            for _, r in shard_pdf.iterrows()
+        ]
         if not key_pdf.empty:
             for key, fp in zip(key_pdf["url_hash"], _fp(key_pdf["url_hash"])):
-                i = int(key[:15], 16) & (m - 1)
-                for b in (i, _alt(i, int(fp), m)):
-                    slots = np.nonzero(table[b] == fp)[0]
-                    if slots.size:
-                        table[b, slots[0]] = 0
+                fp = int(fp)
+                for t_idx, table in enumerate(tables):
+                    m = int(shard_pdf.iloc[t_idx]["m_buckets"])
+                    i = int(key[:15], 16) & (m - 1)
+                    removed = False
+                    for b in (i, _alt(i, fp, m)):
+                        slots = np.nonzero(table[b] == fp)[0]
+                        if slots.size:
+                            table[b, slots[0]] = 0
+                            removed = True
+                            break
+                    if removed:
                         break
         return pd.DataFrame(
             {
-                "shard": [int(row["shard"])],
-                "table": [table.tobytes()],
-                "m_buckets": [m],
-                "n_shards": [int(row["n_shards"])],
+                "shard": [int(r["shard"]) for _, r in shard_pdf.iterrows()],
+                "table": [t.tobytes() for t in tables],
+                "m_buckets": [int(r["m_buckets"]) for _, r in shard_pdf.iterrows()],
+                "n_shards": [int(r["n_shards"]) for _, r in shard_pdf.iterrows()],
             }
         )
 

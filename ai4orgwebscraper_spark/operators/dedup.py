@@ -30,18 +30,28 @@ from ai4orgwebscraper_spark.sources.readers import load_table
 N_SEEDS = 8
 SEEDS_PER_BAND = 2  # -> 4 bands
 
-# one persisted DataFrame per (call-site, sf_dir): re-invoking a query
-# in the same session RELEASES the previous pin before caching the new
-# one, so repeated calls never accumulate storage memory (ADVICE r02 —
-# previously each call leaked a persist until driver GC)
+# one persisted DataFrame per (call-site, sf_dir): repeat invocations
+# REUSE the live pin (the builders are deterministic per key, and
+# reuse preserves Spark's identical-plan cache semantics — an
+# unpersist-then-repersist would force a full recompute per call),
+# so session storage stays bounded at one cached DF per site without
+# ever discarding a warm cache (ADVICE r02 + review r03)
 _PINNED: dict[tuple[str, str], DataFrame] = {}
 
 
 def _pin(site: str, sf_dir: str, df: DataFrame) -> DataFrame:
     key = (site, sf_dir)
-    old = _PINNED.pop(key, None)
+    old = _PINNED.get(key)
     if old is not None:
-        old.unpersist(blocking=False)
+        try:
+            if old.sparkSession is df.sparkSession:
+                return old  # same live session: reuse the warm cache
+            # session changed (stopped + recreated): the old context is
+            # gone — drop the stale reference WITHOUT unpersist (which
+            # would raise on the dead context)
+        except Exception:
+            pass
+        _PINNED.pop(key, None)
     df = df.persist()
     _PINNED[key] = df
     return df
@@ -363,48 +373,21 @@ def connected_components(
     |nodes|)). A changed-count of zero stops the loop; hitting
     ``max_iter`` with labels still moving raises ConvergenceError —
     never a silent partial answer."""
+    from ai4orgwebscraper_spark.plans.iterate import loop_width, spill_loop
+
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    state_dir = tempfile.mkdtemp(prefix="cc_state_", dir=base)
-    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
-
-    # Right-size the loop's shuffle width to the LABEL table, not the
-    # session default: label state is |nodes| rows (tiny next to the
-    # corpus the session conf is tuned for), and with AQE's
-    # parallelismFirst the default width never coalesces — at sf0.1
-    # that was 6 stages x 64 near-empty tasks x ~8 iterations of pure
-    # scheduling overhead (17s for 5k nodes). ~500k label rows per
-    # partition; never wider than the session default, so at 10^10
-    # nodes the width is the cluster's own. Restored in the finally.
     n_nodes = nodes.count()
-    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    loop_parts = max(1, min(sess_parts, (n_nodes + 499_999) // 500_000))
-
-    def _step_spill(df: DataFrame, i: int) -> DataFrame:
-        path = os.path.join(state_dir, f"labels_{i}")
-        df.write.mode("overwrite").parquet(path)
-        # step i-2 is referenced by nothing (i reads its own files,
-        # the changed-count compared i vs i-1) — delete eagerly
-        shutil.rmtree(os.path.join(state_dir, f"labels_{i - 2}"), ignore_errors=True)
-        return spark.read.parquet(path)
-
     # pre-partition the adjacency ON THE JOIN KEY at loop width: the
     # per-iteration join then reuses this partitioning (no Exchange of
     # the edge table per round — it shuffles once here instead of once
-    # per iteration, the classic iterate-over-static-graph layout)
-    adj = fwd.unionByName(rev).repartition(loop_parts, "src").persist()
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
-        labels = _run_cc_loop(spark, adj, nodes, max_iter, _step_spill)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
-        adj.unpersist(blocking=False)  # downstream reads labels only
+    # per iteration, the classic iterate-over-static-graph layout).
+    # spill_loop persists + materializes it at SESSION width before
+    # narrowing, so the heavy LSH lineage upstream of `edges` never
+    # runs under-parallelized inside the loop.
+    adj = fwd.unionByName(rev).repartition(loop_width(spark, n_nodes), "src")
+    with spill_loop(spark, n_nodes, statics=[adj], prefix="cc_state_") as ctx:
+        labels = _run_cc_loop(spark, adj, nodes, max_iter, ctx.spill)
     return labels
 
 

@@ -40,39 +40,31 @@ def pagerank(
     pre-partitioned on ``src`` at loop width (the static-graph layout —
     no per-iteration shuffle of the edges); each step is one join +
     one aggregation + a parquet spill of |nodes| rows."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    state_dir = tempfile.mkdtemp(prefix="pr_state_", dir=base)
-    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    from ai4orgwebscraper_spark.plans.iterate import loop_width, spill_loop
 
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select(F.col("id"), F.lit(0.0).alias("rank"))
-    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    loop_parts = max(1, min(sess_parts, (n_nodes + 499_999) // 500_000))
-
-    def _spill(df: DataFrame, i: int) -> DataFrame:
-        path = os.path.join(state_dir, f"rank_{i}")
-        df.write.mode("overwrite").parquet(path)
-        shutil.rmtree(os.path.join(state_dir, f"rank_{i - 2}"), ignore_errors=True)
-        return spark.read.parquet(path)
 
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # adjacency pre-partitioned on the join key at loop width (the
+    # static-graph layout — no per-iteration edge shuffle); spill_loop
+    # persists + materializes it at SESSION width before narrowing, so
+    # the heavy lineage upstream of `edges` (the crawl, at the driver
+    # entry) never runs under-parallelized inside the loop
     adj = (
         edges.join(deg, "src")
         .select("src", "dst", "outdeg")
-        .repartition(loop_parts, "src")
-        .persist()
+        .repartition(loop_width(spark, n_nodes), "src")
     )
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
-        ranks = _spill(
+    with spill_loop(spark, n_nodes, statics=[adj], prefix="pr_state_") as ctx:
+        ranks = ctx.spill(
             nodes.select(F.col("id"), F.lit(1.0 / n_nodes).alias("rank")), 0
         )
+        # the persisted adjacency also serves as the linking-node set
+        # for the dangling test — deg itself is never read in the loop,
+        # so its edge lineage runs exactly once (inside adj)
+        linkers = adj.select("src").distinct()
         base_mass = (1.0 - damping) / n_nodes
         for it in range(1, iterations + 1):
             contrib = (
@@ -85,10 +77,10 @@ def pagerank(
             # redistributed uniformly (keeps sum(rank) == 1). A 1-row
             # broadcast aggregate folded into the plan — never a
             # driver-side collect inside the loop.
-            dangling = ranks.join(deg, ranks.id == deg.src, "left_anti").agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
-            )
-            ranks = _spill(
+            dangling = ranks.join(
+                linkers, ranks.id == linkers.src, "left_anti"
+            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+            ranks = ctx.spill(
                 ranks.select("id")
                 .join(contrib, F.col("id") == F.col("dst"), "left")
                 .crossJoin(F.broadcast(dangling))
@@ -105,9 +97,6 @@ def pagerank(
                 ),
                 it,
             )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
-        adj.unpersist(blocking=False)
     return ranks
 
 

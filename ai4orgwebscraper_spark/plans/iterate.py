@@ -1,0 +1,96 @@
+"""Shared harness for iterative DataFrame algorithms (connected
+components, PageRank, any fixpoint loop): per-step parquet spill for
+lineage truncation, eager deletion of superseded steps, and shuffle
+width sized to the STATE table rather than the session's corpus-tuned
+default.
+
+Why each piece exists:
+- **Spill, not persist**: persist caches partitions but leaves the
+  logical plan growing — Catalyst analysis time doubles per iteration
+  (1.2s → 42s/iter observed before truncation). A parquet round-trip
+  resets lineage; superseded steps are plain files deleted two
+  iterations back, so retained state is O(2 × |state|).
+- **Loop width**: iterative state is |nodes| rows — tiny next to the
+  corpus — and AQE's parallelismFirst never coalesces the session
+  width down, so every iteration pays stages × near-empty tasks of
+  scheduling overhead. ~500k state rows per partition, capped at the
+  session default (a real cluster keeps its own width at 10^10 rows).
+- **Materialize statics BEFORE narrowing**: the loop's static inputs
+  (adjacency, degree tables) carry the HEAVY upstream lineage
+  (LSH pipeline, crawl fetch). If their first materialization happens
+  lazily inside the loop it runs under the narrowed width — the exact
+  shuffles the session conf was tuned for, under-parallelized. The
+  harness persists and counts every static at session width first.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+from contextlib import contextmanager
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+ROWS_PER_PARTITION = 500_000
+
+
+def loop_width(spark: SparkSession, n_state_rows: int) -> int:
+    """Shuffle width for a state table of ``n_state_rows`` rows —
+    callers use this to pre-partition static inputs on the loop's join
+    key so the per-iteration join reuses the partitioning (the edge
+    table shuffles once, not once per iteration)."""
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(
+        1, min(sess_parts, (n_state_rows + ROWS_PER_PARTITION - 1) // ROWS_PER_PARTITION)
+    )
+
+
+@dataclass
+class SpillLoop:
+    spill: Callable[[DataFrame, int], DataFrame]
+    loop_parts: int
+
+
+@contextmanager
+def spill_loop(
+    spark: SparkSession,
+    n_state_rows: int,
+    statics: list[DataFrame] | None = None,
+    prefix: str = "iter_state_",
+):
+    """Context manager for an iterative loop.
+
+    ``statics`` are persisted and force-materialized at the SESSION
+    shuffle width before the width is narrowed for the loop, then
+    unpersisted on exit. Inside the block, ``ctx.spill(df, i)`` writes
+    step ``i`` to tmpfs, deletes step ``i-2``, and returns the
+    lineage-free reader."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    state_dir = tempfile.mkdtemp(prefix=prefix, dir=base)
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    loop_parts = loop_width(spark, n_state_rows)
+
+    statics = statics or []
+    for s in statics:
+        s.persist()
+        s.count()  # materialize heavy upstream lineage at session width
+
+    def spill(df: DataFrame, i: int) -> DataFrame:
+        path = os.path.join(state_dir, f"step_{i}")
+        df.write.mode("overwrite").parquet(path)
+        shutil.rmtree(os.path.join(state_dir, f"step_{i - 2}"), ignore_errors=True)
+        return spark.read.parquet(path)
+
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        yield SpillLoop(spill=spill, loop_parts=loop_parts)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
+        for s in statics:
+            s.unpersist(blocking=False)

@@ -70,6 +70,31 @@ def test_deletion_removes_only_deleted_keys(spark):
     assert still <= 2, f"{still} deleted keys still reported present"
 
 
+def test_delete_preserves_all_round_delta_rows(spark):
+    """A shard can hold several table rows (incremental round deltas).
+    delete_keys must keep EVERY row — review r03 caught an iloc[0]
+    that silently dropped all later deltas — and membership for both
+    deltas' keys must survive a delete against the union."""
+    a, b = _keys("ra", 300), _keys("rb", 300)
+    part_a = C.build_cuckoo_shards(
+        spark.createDataFrame([(k,) for k in a], "url_hash string"), n_shards=8
+    )
+    part_b = C.build_cuckoo_shards(
+        spark.createDataFrame([(k,) for k in b], "url_hash string"), n_shards=8
+    )
+    union = part_a.unionByName(part_b)
+    n_rows_before = union.count()
+    doomed = a[:50]
+    out = C.delete_keys(
+        union, spark.createDataFrame([(k,) for k in doomed], "url_hash string"),
+        n_shards=8,
+    )
+    assert out.count() == n_rows_before  # every delta row survives
+    flagged = _flags(spark, out, a + b, n_shards=8)
+    assert all(flagged[k] for k in a[50:] + b)  # both deltas' survivors
+    assert sum(1 for k in doomed if flagged[k]) <= 2  # deleted gone
+
+
 def test_shard_count_mismatch_fails_loudly(spark):
     present = _keys("in", 200)
     seen = spark.createDataFrame([(k,) for k in present], "url_hash string")

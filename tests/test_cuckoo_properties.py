@@ -67,35 +67,44 @@ def test_delete_keeps_survivors(ints, rnd):
             if slots.size:
                 table[b, slots[0]] = 0
                 break
-    # a survivor that shares (fingerprint, bucket-pair overlap) with a
-    # doomed key was deduplicated at insert time (one stored copy for
-    # both) — losing it on delete is the documented cuckoo caveat, not
-    # a bug; exempt those ultra-rare collisions from the invariant
-    def sig(k):
-        fp = int(C._fp(pd.Series([k]))[0])
-        i = int(k[:15], 16) & (m - 1)
-        return fp, {i, int(C._alt(i, fp, m))}
-
-    doomed_sigs = [sig(d) for d in doomed]
-    survivors = [
-        k
-        for k in keys
-        if k not in doomed
-        and not any(fp == sig(k)[0] and (b & sig(k)[1]) for fp, b in doomed_sigs)
-    ]
+    # multiset inserts mean every inserted key owns a copy — deleting
+    # an inserted subset can NEVER hide a surviving inserted key, even
+    # on fingerprint collisions (no exemptions needed)
+    survivors = [k for k in keys if k not in doomed]
     assert all(_present(table, k, m) for k in survivors)
 
 
 @settings(max_examples=30, deadline=None)
 @given(keysets)
-def test_reinsert_idempotent(ints):
+def test_multiset_copies_survive_partial_delete(ints):
+    """Each insert stores its own copy: after inserting every key
+    TWICE (sized for it), deleting one copy keeps the key present and
+    deleting the second makes it absent — the multiset contract that
+    keeps deletion sound under fingerprint collisions."""
     keys = _md5s(sorted(ints))
-    m = C._pow2_buckets(len(keys))
+    m = C._pow2_buckets(2 * len(keys))
     table = _build(keys, m)
-    before = table.copy()
     s = pd.Series(keys)
-    C._insert_all(table, C._i1(s, m), C._fp(s), m)  # second pass
-    assert np.array_equal(table, before)  # set semantics, no growth
+    C._insert_all(table, C._i1(s, m), C._fp(s), m)  # second copy each
+
+    def delete_once(key):
+        fp = int(C._fp(pd.Series([key]))[0])
+        i = int(key[:15], 16) & (m - 1)
+        for b in (i, C._alt(i, fp, m)):
+            slots = np.nonzero(table[b] == fp)[0]
+            if slots.size:
+                table[b, slots[0]] = 0
+                return
+
+    probe = keys[0]
+    n_copies_of_probe_fp = sum(
+        1 for k in keys if C._fp(pd.Series([k]))[0] == C._fp(pd.Series([probe]))[0]
+    )
+    delete_once(probe)
+    assert _present(table, probe, m)  # second copy still there
+    if n_copies_of_probe_fp == 1:  # no colliding sibling keys
+        delete_once(probe)
+        assert not _present(table, probe, m)
 
 
 @settings(max_examples=30, deadline=None)
