@@ -460,6 +460,38 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's LAST stage: materialize the deduplicated
+    corpus — keep exactly one document per near-dup cluster (the
+    min-doc_id keeper, i.e. the doc that IS its own component label);
+    singletons keep themselves. Reports the kept/dropped volume per
+    source — the number a training-data pipeline actually acts on.
+
+    Scale: cluster labels come from the pointer-doubled components run
+    (O(log diameter)); the materialization itself is one |docs|-row
+    join + aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = connected_components(
+        spark, docs.select("doc_id"), lsh_pairs(spark, sf_dir)
+    )
+    keep = F.col("doc_id") == F.col("label")
+    return (
+        docs.join(labels, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.coalesce(F.sum(F.when(keep, F.col("n_chars"))), F.lit(0))
+            .cast("long")
+            .alias("chars_kept"),
+            F.coalesce(F.sum(F.when(~keep, F.col("n_chars"))), F.lit(0))
+            .cast("long")
+            .alias("chars_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete two-stage dedup pipeline: MinHash-LSH candidate
     generation, then EXACT Jaccard verification on candidates only —
@@ -501,6 +533,7 @@ QUERIES = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_doc_contamination": q_doc_contamination,
+    "q_dedup_materialize": q_dedup_materialize,
 }
 
 _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
@@ -560,49 +593,8 @@ ORACLES = {
                round(max(jaccard), 6) AS max_jaccard
         FROM verified GROUP BY doc_a ORDER BY doc_a
     """,
-    "q_dedup_clusters": f"""
-        WITH RECURSIVE toks AS (
-            SELECT DISTINCT doc_id, unnest({_TOKS}) AS token FROM documents
-        ),
-        mh AS (
-            SELECT doc_id, s.seed, min(md5(token || '#' || CAST(s.seed AS VARCHAR))) AS mh
-            FROM toks, generate_series(0, {N_SEEDS - 1}) s(seed)
-            GROUP BY doc_id, s.seed
-        ),
-        bands AS (
-            SELECT doc_id, seed // {SEEDS_PER_BAND} AS band,
-                   md5(CAST(seed // {SEEDS_PER_BAND} AS VARCHAR) || '|' ||
-                       string_agg(mh, ',' ORDER BY seed)) AS band_key
-            FROM mh GROUP BY doc_id, seed // {SEEDS_PER_BAND}
-        ),
-        kept AS (
-            SELECT doc_id, band, band_key FROM (
-                SELECT doc_id, band, band_key,
-                       count(*) OVER (PARTITION BY band_key) AS bsize
-                FROM bands
-            ) WHERE bsize <= 64
-        ),
-        pairs AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM kept a JOIN kept b
-              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-        ),
-        edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM pairs
-            UNION ALL
-            SELECT doc_b, doc_a FROM pairs
-        ),
-        reach(doc_id, label) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT e.dst, r.label FROM reach r JOIN edges e ON r.doc_id = e.src
-        ),
-        labels AS (
-            SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id
-        )
-        SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
-        FROM labels GROUP BY label ORDER BY cluster_id
-    """,
+    # q_dedup_clusters / q_dedup_materialize assigned below (shared
+    # recursive-CTE chain _CC_LABELS_CTES)
     "q_dedup_exact": f"""
         SELECT md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
                count(*) AS n_docs, min(doc_id) AS keeper_doc_id
@@ -721,3 +713,64 @@ ORACLES = {
         FROM pairs GROUP BY source ORDER BY source
     """,
 }
+
+# shared recursive-CTE chain computing the connected-component label of
+# every document (the DuckDB twin of lsh_pairs + connected_components)
+# — used by both the cluster-stats and materializer oracles
+_CC_LABELS_CTES = f"""
+    WITH RECURSIVE toks AS (
+        SELECT DISTINCT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    mh AS (
+        SELECT doc_id, s.seed, min(md5(token || '#' || CAST(s.seed AS VARCHAR))) AS mh
+        FROM toks, generate_series(0, {N_SEEDS - 1}) s(seed)
+        GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // {SEEDS_PER_BAND} AS band,
+               md5(CAST(seed // {SEEDS_PER_BAND} AS VARCHAR) || '|' ||
+                   string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM mh GROUP BY doc_id, seed // {SEEDS_PER_BAND}
+    ),
+    kept AS (
+        SELECT doc_id, band, band_key FROM (
+            SELECT doc_id, band, band_key,
+                   count(*) OVER (PARTITION BY band_key) AS bsize
+            FROM bands
+        ) WHERE bsize <= {MAX_BUCKET}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.doc_id = e.src
+    ),
+    labels AS (
+        SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id
+    )
+"""
+
+ORACLES["q_dedup_clusters"] = f"""
+    {_CC_LABELS_CTES}
+    SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
+    FROM labels GROUP BY label ORDER BY cluster_id
+"""
+
+ORACLES["q_dedup_materialize"] = f"""
+    {_CC_LABELS_CTES}
+    SELECT d.source, count(*) AS n_docs,
+           count(CASE WHEN l.doc_id = l.label THEN 1 END) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN l.doc_id = l.label THEN d.n_chars END), 0) AS BIGINT) AS chars_kept,
+           CAST(coalesce(sum(CASE WHEN l.doc_id <> l.label THEN d.n_chars END), 0) AS BIGINT) AS chars_dropped
+    FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+    GROUP BY d.source ORDER BY d.source
+"""
