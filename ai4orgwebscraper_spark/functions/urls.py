@@ -23,6 +23,7 @@ needed).
 from __future__ import annotations
 
 import hashlib
+import re
 from urllib.parse import quote, urlparse
 
 from pyspark.sql import Column
@@ -86,12 +87,20 @@ def host_col(canonical_url: Column) -> Column:
     semantics; host_py mirrors via urlparse().hostname — ADVICE r01
     flagged the twin keeping the port, which made politeness/robots
     lookups diverge for ported URLs). Reference netloc extraction:
-    app.py:200, app.py:503."""
-    return F.lower(F.parse_url(canonical_url, F.lit("HOST")))
+    app.py:200, app.py:503.
+
+    try_parse_url, NOT parse_url: the JVM parser THROWS on URI-illegal
+    bytes a real crawl sees constantly (stray '%' not followed by two
+    hex digits, raw `"<>^\\`{|}[]` in the path — r03 fuzz finding), and
+    one malformed outlink would kill the whole stage. try_parse_url
+    returns NULL instead, and the P2 validity predicate drops the row —
+    malformed URLs are data, not exceptions. host_py mirrors the
+    rejection so engine and oracle drop the same rows."""
+    return F.lower(F.try_parse_url(canonical_url, F.lit("HOST")))
 
 
 def path_col(canonical_url: Column) -> Column:
-    return F.parse_url(canonical_url, F.lit("PATH"))
+    return F.try_parse_url(canonical_url, F.lit("PATH"))
 
 
 def is_valid_url_col(canonical_url: Column) -> Column:
@@ -149,14 +158,79 @@ def url_hash_py(canonical_url: str) -> str:
     return hashlib.md5(canonical_url.encode("utf-8")).hexdigest()
 
 
+# --- faithful mirror of java.net.URI's server-authority parse -------
+# (the engine's host_col uses try_parse_url, whose semantics are
+# java.net.URI; the twin must reject EXACTLY what the JVM rejects or
+# engine and oracle disagree on which URLs are invalid. Rules below
+# were probed empirically on Spark 4.1 — r03 fuzz, 6k random URLs.)
+
+# excluded chars are illegal EVERYWHERE; brackets are additionally
+# illegal before the query/fragment (java allows [] in query+fragment
+# only — its IPv6 carve-out); a '%' must start a two-hex escape
+_JVM_ILLEGAL_ANY = re.compile(r'["<>\\^`{|}]|%(?![0-9A-Fa-f]{2})')
+_LABEL_RE = re.compile(r"^[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?$")
+
+
+def _jvm_valid_host(host: str) -> bool:
+    """java.net.URI hostname grammar: dot-separated labels that start
+    and end alphanumeric (hyphens inside); optional trailing dot; when
+    the host is dotted, the last label must START WITH A LETTER unless
+    the whole host is a well-formed IPv4 (4 octets, each <= 255).
+    Probed: 1d ok, 6r.a ok, a.com. ok, www. ok, 1.2.3.4 ok;
+    www.6R no, a.6r no, 12.34 no, 1.2.3.4.5 no, 256.1.1.1 no,
+    a-.com no, -a.com no."""
+    if not host:
+        return False
+    trailing_dot = host.endswith(".")
+    labels = host[:-1].split(".") if trailing_dot else host.split(".")
+    if not labels or not all(_LABEL_RE.fullmatch(lb) for lb in labels):
+        return False
+    # digit-start last label (probed): single label + trailing dot is
+    # valid ('4.', '6ne.'); multi-label is invalid even with a trailing
+    # dot ('www.6R.', '1.2.3.4.'); without a trailing dot it is only
+    # valid as a full IPv4 ('1.2.3.4' yes, '12.34' no)
+    if "." in host and not labels[-1][0].isalpha():
+        if trailing_dot:
+            return len(labels) == 1
+        return len(labels) == 4 and all(
+            lb.isdigit() and int(lb) <= 255 for lb in labels
+        )
+    return True
+
+
 def host_py(canonical_url: str) -> str:
     # hostname (not netloc): lower-cased, port dropped — matches
-    # parse_url(..., 'HOST') in host_col (ADVICE r01). Canonical URLs
-    # are pure ASCII (percent-encoded), so the one remaining divergence
-    # is a '%' inside the authority: the JVM parser rejects it (null);
-    # mirror that as "" (invalid — dropped by the validity predicate).
-    host = urlparse(canonical_url).hostname or ""
-    return "" if "%" in host else host
+    # try_parse_url(..., 'HOST') in host_col (ADVICE r01). Every JVM
+    # rejection (illegal bytes, brackets outside query/fragment, >1
+    # '@' in the authority, non-numeric port, host outside the
+    # hostname grammar, escaped bytes in the authority) is mirrored as
+    # "" so engine and oracle drop the SAME rows via the P2 validity
+    # predicate.
+    if _JVM_ILLEGAL_ANY.search(canonical_url):
+        return ""
+    if canonical_url.count("#") > 1:
+        return ""  # a fragment may not itself contain '#'
+    qpos = len(canonical_url)
+    for ch in "?#":
+        p = canonical_url.find(ch)
+        if p != -1:
+            qpos = min(qpos, p)
+    if "[" in canonical_url[:qpos] or "]" in canonical_url[:qpos]:
+        return ""
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", canonical_url)
+    if not m:
+        return ""
+    auth = m.group(1)
+    if auth.count("@") > 1:
+        return ""  # userinfo may not itself contain '@'
+    hostport = auth.rsplit("@", 1)[-1]
+    host, sep, port = hostport.partition(":")
+    if sep and port and not port.isdigit():
+        return ""  # non-numeric port -> registry authority, null host
+    if "%" in host:
+        return ""  # escaped bytes in the authority -> null host
+    host = host.lower()
+    return host if _jvm_valid_host(host) else ""
 
 
 def path_py(canonical_url: str) -> str:

@@ -87,3 +87,54 @@ def test_resolve_outlink_spark_matches(spark):
         ).collect()
     ]
     assert got == [U.resolve_outlink_py(h, x) for h, x in pairs]
+
+
+def test_host_parity_fuzz_including_malformed(spark):
+    """r03 fuzz regression: host_col (try_parse_url, java.net.URI
+    semantics) and host_py must agree on EVERY canonical URL —
+    including malformed ones (stray %, URI-excluded chars, symbol
+    hosts, bad ports, double '#', trailing-dot hosts). Before this,
+    parse_url THREW on malformed URLs (one bad outlink would kill a
+    fetch stage) and the twin accepted 416/6000 URLs the JVM rejects."""
+    import random
+    import string
+
+    random.seed(42)
+    chars = (
+        string.ascii_letters + string.digits
+        + ' .:/?#[]@!$&()*+,;=%-_~' + '"<>^\\`{|}' + "üñßé漢字"
+    )
+    urls = []
+    for _ in range(2000):
+        n = random.randint(1, 40)
+        s = "".join(random.choice(chars) for _ in range(n))
+        prefix = random.choice(
+            ["http://", "https://", "", "  http://", "HTTP://", "www.", "https://h_x.com/"]
+        )
+        urls.append(prefix + s)
+    urls += [  # probed JVM edge cases, pinned
+        "https://4.", "https://6ne.", "https://www.6R.", "https://1.2.3.4.",
+        "https://a#b#c", "https://a?x#y#z", "https://www.", "https://a.com.",
+        "https://1.2.3.4/x", "https://12.34", "https://a.6r", "https://6r.a",
+        "https://256.1.1.1", "https://a:x9", "https://u@v@a.com",
+        "https://a.com?x[y]", "https://a.com/p[q]", "https://a_b.com/x",
+        "https://-a.com/x", "https://h.com/p%p", "https://h%41.com/x",
+    ]
+    canons = [
+        r["canon"]
+        for r in spark.createDataFrame([(u,) for u in urls], "url string")
+        .select(U.canonicalize_col(F.col("url")).alias("canon"))
+        .collect()
+        if r["canon"]
+    ]
+    rows = (
+        spark.createDataFrame([(c,) for c in canons], "url string")
+        .select("url", U.host_col(F.col("url")).alias("h"))
+        .collect()
+    )
+    bad = [
+        (r["url"], r["h"], U.host_py(r["url"]))
+        for r in rows
+        if (U.host_py(r["url"]) or None) != (r["h"] or None)
+    ]
+    assert not bad, bad[:10]
