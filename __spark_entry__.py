@@ -162,6 +162,15 @@ def _crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: k-means cluster profile over embeddings — the
+    learned-centroid companion to the IVF index (iterative, not
+    SQL-expressible). Exact twin parity in tests/test_clustering.py."""
+    from ai4orgwebscraper_spark.operators.clustering import q_kmeans_embeddings
+
+    return q_kmeans_embeddings(spark, sf_dir)
+
+
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: binary media decode plumbing (codecs stubbed with a
     deterministic fake — operators/multimodal.py)."""
@@ -262,6 +271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["crawl_internal_external"] = _crawl_internal_external
     out["crawl_status_breakdown"] = _crawl_status_breakdown
     out["crawl_pagerank"] = _crawl_pagerank
+    out["kmeans_embeddings"] = _kmeans_embeddings
     out["multimodal_decode"] = _multimodal_decode
     out["multimodal_knn"] = _multimodal_knn
     out["html_parse_fields"] = _html_parse_fields

@@ -1,0 +1,144 @@
+"""K-means over the embeddings table — the learned-centroid companion
+to the IVF index in ``similarity.py`` (whose "centroids" are
+deterministic stand-ins; a production IVF trains them exactly like
+this). Lloyd iterations with a fixed count, deterministic
+first-k-vectors init, no RNG — the cross-engine/resume discipline every
+operator here follows.
+
+Scale shape:
+- assignment is an IN-ROW argmin fold over a literal centroid array
+  (the shuffle-free pattern of similarity._centroid_ranked) — the
+  corpus never shuffles for assignment;
+- centroid update is posexplode(dim) → partial-agg on (cluster, dim):
+  map-side combine shrinks the shuffle to k x dim rows per partition;
+- the k x dim centroid matrix is MODEL STATE, not data — collecting it
+  to the driver each iteration is the standard distributed-k-means
+  layout (Spark MLlib's KMeans does the same); nothing data-scale ever
+  reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai4orgwebscraper_spark.sources.readers import load_table
+
+K = 10
+ITERATIONS = 5
+
+
+def _assign(vectors: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """vectors + `cluster` column: argmin L2 over the literal centroid
+    array, ties to the lower cluster id — one narrow projection."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d2"),
+                F.lit(j).alias("cluster"),
+            )
+            for j, c in enumerate(cents)
+        ]
+    )
+    return vectors.withColumn("cluster", F.array_sort(scored)[0]["cluster"])
+
+
+def kmeans(
+    vectors: DataFrame, k: int = K, iterations: int = ITERATIONS
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's algorithm: returns (vectors + cluster column, centroids).
+
+    Init = the embeddings of the k smallest vec_ids (deterministic —
+    k-means++ would need RNG; at 10^10 rows you would init from a
+    driver-side sample exactly like this). Empty clusters keep their
+    previous centroid."""
+    dim_count = len(vectors.select("embedding").first()["embedding"])
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in vectors.orderBy("vec_id").limit(k).collect()
+    ]
+    for _ in range(iterations):
+        assigned = _assign(vectors, cents)
+        stats = (
+            assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )  # k x dim model-state rows — never data-scale
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            sums.setdefault(r["cluster"], [0.0] * dim_count)[r["dim"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        cents = [
+            [s / counts[j] for s in sums[j]] if j in counts else cents[j]
+            for j in range(k)
+        ]
+    return _assign(vectors, cents), cents
+
+
+def kmeans_py(
+    vecs: dict[int, list[float]], k: int = K, iterations: int = ITERATIONS
+) -> tuple[dict[int, int], list[list[float]]]:
+    """Pure-Python twin (normative oracle for tests): identical init,
+    identical iteration, identical empty-cluster handling."""
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    ids = sorted(vecs)
+    cents = [[float(x) for x in vecs[i]] for i in ids[:k]]
+    dim_count = len(cents[0])
+    assign: dict[int, int] = {}
+    for _ in range(iterations):
+        assign = {
+            i: min(range(k), key=lambda j: (d2(vecs[i], cents[j]), j)) for i in ids
+        }
+        for j in range(k):
+            members = [vecs[i] for i in ids if assign[i] == j]
+            if members:
+                cents[j] = [
+                    sum(m[d] for m in members) / len(members) for d in range(dim_count)
+                ]
+    assign = {i: min(range(k), key=lambda j: (d2(vecs[i], cents[j]), j)) for i in ids}
+    return assign, cents
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver entry: k-means cluster profile over the
+    embeddings table (k rows — size per cluster and mean distance to
+    its centroid). Exact twin parity on planted separated clusters in
+    tests/test_clustering.py."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, cents = kmeans(emb)
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.element_at(
+                    F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents]),
+                    F.col("cluster") + 1,
+                ),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        assigned.withColumn("dist", dist)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+        )
+        .orderBy("cluster")
+    )

@@ -42,6 +42,7 @@ def test_every_query_is_registered():
         "crawl_internal_external",
         "crawl_status_breakdown",
         "crawl_pagerank",
+        "kmeans_embeddings",
         "multimodal_decode",
         "multimodal_knn",
         "html_parse_fields",
