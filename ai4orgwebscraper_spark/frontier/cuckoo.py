@@ -96,7 +96,11 @@ def _i1(keys: pd.Series, m: int) -> np.ndarray:
 
 
 def _alt(i: np.ndarray | int, fp: np.ndarray | int, m: int):
-    return (i ^ ((fp * _G_MULT) & (m - 1))) & (m - 1)
+    # `| 1` forces the XOR term odd so the alternate bucket ALWAYS
+    # differs from i (hypothesis r03: a fingerprint whose spread
+    # hashed to 0 mod m had only ONE bucket — its eviction walk cycled
+    # in place and overflowed at 50% load). Still an involution.
+    return (i ^ (((fp * _G_MULT) | 1) & (m - 1))) & (m - 1)
 
 
 def _insert_all(table: np.ndarray, i1: np.ndarray, fps: np.ndarray, m: int) -> None:

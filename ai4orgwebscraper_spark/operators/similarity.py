@@ -262,8 +262,36 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with LEARNED centroids: train the coarse quantizer with
+    k-means (operators/clustering.py), assign the corpus shuffle-free,
+    probe only the query's cluster — the production two-stage ANN
+    build (train → assign → probe) end to end. Rows-only entry (the
+    k-means fixpoint is iterative, not SQL-expressible); recall-vs-
+    bruteforce sanity is pinned in tests/test_similarity.py."""
+    from ai4orgwebscraper_spark.operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, _cents = kmeans(emb)
+    query = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("query_vec"), F.col("cluster").alias("query_cluster")
+    )
+    return (
+        assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(query), F.col("cluster") == F.col("query_cluster"))
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.round(_cosine(F.col("embedding"), F.col("query_vec")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
 QUERIES = {
     "q_knn_bruteforce": q_knn_bruteforce,
+    "q_knn_ivf_learned": q_knn_ivf_learned,
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
     "q_knn_ivf_multiprobe": q_knn_ivf_multiprobe,

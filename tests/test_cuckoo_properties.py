@@ -5,8 +5,8 @@ beyond the example-based suite):
 1. no false negatives: every inserted key tests present;
 2. deletion soundness: deleting an inserted subset keeps every
    survivor present;
-3. insert is idempotent: re-inserting present keys never overflows or
-   changes membership;
+3. multiset copies: a double-inserted key survives one delete and
+   (absent fingerprint siblings) vanishes after the second;
 4. fingerprints are never 0 (0 is the empty-slot sentinel).
 """
 
@@ -16,7 +16,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import assume, example, given, settings
 from hypothesis import strategies as st
 
 from ai4orgwebscraper_spark.frontier import cuckoo as C
@@ -45,6 +45,9 @@ keysets = st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_siz
 
 @settings(max_examples=60, deadline=None)
 @given(keysets)
+@example(
+    ints={10, 115, 179, 195, 724258862},
+).via('discovered failure')
 def test_no_false_negatives(ints):
     keys = _md5s(sorted(ints))
     m = C._pow2_buckets(len(keys))
@@ -77,15 +80,22 @@ def test_delete_keeps_survivors(ints, rnd):
 @settings(max_examples=30, deadline=None)
 @given(keysets)
 def test_multiset_copies_survive_partial_delete(ints):
-    """Each insert stores its own copy: after inserting every key
-    TWICE (sized for it), deleting one copy keeps the key present and
-    deleting the second makes it absent — the multiset contract that
-    keeps deletion sound under fingerprint collisions."""
+    """Each insert stores its own copy: after inserting the probe key
+    a second time, deleting one copy keeps it present and deleting the
+    second makes it absent — the multiset contract that keeps deletion
+    sound under fingerprint collisions."""
     keys = _md5s(sorted(ints))
-    m = C._pow2_buckets(2 * len(keys))
+    m = C._pow2_buckets(4 * len(keys))
     table = _build(keys, m)
-    s = pd.Series(keys)
-    C._insert_all(table, C._i1(s, m), C._fp(s), m)  # second copy each
+    probe = keys[0]
+    s = pd.Series([probe])
+    try:
+        C._insert_all(table, C._i1(s, m), C._fp(s), m)  # second copy of probe
+    except C.CuckooOverflow:
+        # the probe's bucket pair is saturated (hypothesis can hunt
+        # pair-collisions at tiny m) — a LOUD resize signal, which is
+        # correct behavior but not the deletion semantics under test
+        assume(False)
 
     def delete_once(key):
         fp = int(C._fp(pd.Series([key]))[0])
@@ -96,7 +106,6 @@ def test_multiset_copies_survive_partial_delete(ints):
                 table[b, slots[0]] = 0
                 return
 
-    probe = keys[0]
     n_copies_of_probe_fp = sum(
         1 for k in keys if C._fp(pd.Series([k]))[0] == C._fp(pd.Series([probe]))[0]
     )

@@ -43,6 +43,7 @@ def test_every_query_is_registered():
         "crawl_status_breakdown",
         "crawl_pagerank",
         "kmeans_embeddings",
+        "q_knn_ivf_learned",
         "multimodal_decode",
         "multimodal_knn",
         "html_parse_fields",

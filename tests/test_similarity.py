@@ -58,3 +58,21 @@ def test_lsh_subset_of_bruteforce_candidates(spark, planted_sf):
     for r in q_knn_lsh(spark, planted_sf).collect():
         if r["vec_id"] in bf:
             assert abs(bf[r["vec_id"]] - r["cosine"]) < 1e-9
+
+
+def test_ivf_learned_probe_is_exact_within_cluster(spark, planted_sf):
+    """IVF over k-means-learned centroids: every returned neighbor's
+    cosine must equal the brute-force value (the probe prunes, never
+    perturbs), and the near-identical vector 1 — which shares the
+    query's cluster by construction — must rank first."""
+    from ai4orgwebscraper_spark.operators.similarity import (
+        q_knn_bruteforce,
+        q_knn_ivf_learned,
+    )
+
+    bf = {r["vec_id"]: r["cosine"] for r in q_knn_bruteforce(spark, planted_sf).collect()}
+    rows = q_knn_ivf_learned(spark, planted_sf).collect()
+    assert rows and rows[0]["vec_id"] == 1  # nearest neighbor recalled
+    for r in rows:
+        if r["vec_id"] in bf:
+            assert abs(bf[r["vec_id"]] - r["cosine"]) < 1e-9
