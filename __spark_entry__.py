@@ -171,6 +171,34 @@ def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_kmeans_embeddings(spark, sf_dir)
 
 
+def _streaming_seed_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: continuous seed ingestion — Structured Streaming over
+    a seed-file directory with stateful URL-seen dedup (streaming twin
+    of the frontier's C4). Two overlapping seed files drain through
+    one stream; output is the admitted per-host profile. Batch-parity
+    contract tested in tests/test_seed_stream.py."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ai4orgwebscraper_spark.sources.corpus import seed_urls
+    from ai4orgwebscraper_spark.streaming.seed_stream import stream_seed_ingestion
+
+    seeds = seed_urls(60)
+    seed_dir = tempfile.mkdtemp(prefix="seed_stream_entry_")
+    with open(os.path.join(seed_dir, "a.txt"), "w") as f:
+        f.write("\n".join(seeds[:40]))
+    with open(os.path.join(seed_dir, "b.txt"), "w") as f:
+        f.write("\n".join(seeds[20:]))  # 20 duplicates across files
+    admitted = stream_seed_ingestion(spark, seed_dir)
+    return (
+        admitted.groupBy("host")
+        .agg(F.count("*").alias("n_urls"))
+        .orderBy("host")
+    )
+
+
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: binary media decode plumbing (codecs stubbed with a
     deterministic fake — operators/multimodal.py)."""
@@ -272,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["crawl_status_breakdown"] = _crawl_status_breakdown
     out["crawl_pagerank"] = _crawl_pagerank
     out["kmeans_embeddings"] = _kmeans_embeddings
+    out["streaming_seed_ingestion"] = _streaming_seed_ingestion
     out["multimodal_decode"] = _multimodal_decode
     out["multimodal_knn"] = _multimodal_knn
     out["html_parse_fields"] = _html_parse_fields

@@ -44,6 +44,7 @@ def test_every_query_is_registered():
         "crawl_pagerank",
         "kmeans_embeddings",
         "q_knn_ivf_learned",
+        "streaming_seed_ingestion",
         "multimodal_decode",
         "multimodal_knn",
         "html_parse_fields",

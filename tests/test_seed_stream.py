@@ -1,0 +1,78 @@
+"""Continuous seed ingestion: streaming canonicalize + stateful
+URL-seen dedup must agree with the batch engine's semantics on the
+same concatenated seed files."""
+
+from __future__ import annotations
+
+import os
+
+from ai4orgwebscraper_spark.functions.urls import canonicalize_py, host_py, url_hash_py
+from ai4orgwebscraper_spark.sources.corpus import seed_urls
+from ai4orgwebscraper_spark.streaming.seed_stream import stream_seed_ingestion
+
+
+def _batch_expected(files: list[list[str]]) -> dict[str, str]:
+    """First-seen-wins canonical dedup of the concatenated files —
+    the pure-Python twin of the streaming pipeline."""
+    seen: dict[str, str] = {}
+    for batch in files:
+        for raw in batch:
+            c = canonicalize_py(raw)
+            if c is None or not host_py(c):
+                continue
+            seen.setdefault(url_hash_py(c), c)
+    return seen
+
+
+def test_streaming_seed_dedup_matches_batch_semantics(spark, tmp_path):
+    """Three seed files arriving over time, with cross-file duplicates
+    and malformed URLs: the admitted set equals the batch dedup of the
+    concatenation, each url_hash admitted exactly once."""
+    seeds = seed_urls(60)
+    files = [
+        seeds[:25],
+        seeds[15:45] + ["https://h_x.com/bad", "https://ok7.example.com/p/zz"],
+        seeds[30:60] + ["  http://ok7.example.com/p/zz  "],  # dup after trim
+    ]
+    seed_dir = tmp_path / "seeds_in"
+    os.makedirs(seed_dir)
+    for i, batch in enumerate(files):
+        (seed_dir / f"batch_{i}.txt").write_text("\n".join(batch))
+
+    out = stream_seed_ingestion(
+        spark, str(seed_dir), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    rows = out.collect()
+    got = {r["url_hash"]: r["url"] for r in rows}
+    want = _batch_expected(files)
+    assert set(got) == set(want)
+    # url_hash equality => identical canonical URL on both sides
+    assert got == want
+    assert len(rows) == len(got)  # each key admitted exactly ONCE
+    # the malformed underscore host was dropped by the validity filter
+    assert not any("h_x.com" in u for u in got.values())
+    # every admitted row carries a valid host
+    assert all(r["host"] for r in rows)
+
+
+def test_streaming_seed_ingestion_is_incremental(spark, tmp_path):
+    """A file added AFTER the first drain is picked up by a second
+    drain through the same checkpoint, and previously admitted keys
+    stay deduped (the state store carries the seen set across runs)."""
+    seed_dir = tmp_path / "seeds_inc"
+    os.makedirs(seed_dir)
+    ckpt = str(tmp_path / "ckpt_inc")
+    (seed_dir / "a.txt").write_text("\n".join(seed_urls(20)))
+    first = stream_seed_ingestion(spark, str(seed_dir), checkpoint_dir=ckpt)
+    n_first = first.count()
+    assert n_first > 0
+
+    # second wave: half duplicates of the first, half new
+    (seed_dir / "b.txt").write_text("\n".join(seed_urls(40)))
+    second = stream_seed_ingestion(spark, str(seed_dir), checkpoint_dir=ckpt)
+    want = _batch_expected([seed_urls(40)])
+    got_keys = {r["url_hash"] for r in second.collect()}
+    # the second drain's NEW admissions + first drain's = full set
+    first_keys = {r["url_hash"] for r in first.collect()}
+    assert first_keys | got_keys == set(want)
+    assert not (first_keys & got_keys)  # nothing admitted twice
