@@ -23,6 +23,7 @@ needed).
 from __future__ import annotations
 
 import hashlib
+import ipaddress
 import re
 from urllib.parse import quote, urlparse
 
@@ -165,8 +166,9 @@ def url_hash_py(canonical_url: str) -> str:
 # were probed empirically on Spark 4.1 — r03 fuzz, 6k random URLs.)
 
 # excluded chars are illegal EVERYWHERE; brackets are additionally
-# illegal before the query/fragment (java allows [] in query+fragment
-# only — its IPv6 carve-out); a '%' must start a two-hex escape
+# illegal before the query/fragment EXCEPT as the delimiters of an
+# IPv6 server authority (handled by the carve-out in host_py; java
+# also allows [] in query+fragment); a '%' must start a two-hex escape
 _JVM_ILLEGAL_ANY = re.compile(r'["<>\\^`{|}]|%(?![0-9A-Fa-f]{2})')
 _LABEL_RE = re.compile(r"^[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?$")
 
@@ -198,14 +200,61 @@ def _jvm_valid_host(host: str) -> bool:
     return True
 
 
+# java's IPv6 carve-out (ADVICE r04): a bracketed server authority is
+# the ONE place brackets — and a non-escape '%' (the zone-id
+# separator) — are legal before the query. Grammar probed on Spark 4.1
+# try_parse_url (842-case fuzz, 0 mismatches): the literal must parse
+# as an RFC-4291 IPv6 address (Python's ipaddress.IPv6Address agrees
+# with java.net.URI on every probed form, incl. '::ffff:1.2.3.4',
+# group-count and octet-range errors), and an optional '%zone' suffix
+# where the zone is 1+ chars from [A-Za-z0-9._] ONLY (probed: hyphen,
+# ':' and every other symbol rejected; '.', '_' accepted).
+_JVM_ZONE_RE = re.compile(r"^[A-Za-z0-9._]+$")
+_BRACKET_HOSTPORT_RE = re.compile(r"^\[([^\]]*)\](?::(\d*))?$")
+
+
+def _jvm_valid_ipv6_literal(inner: str) -> bool:
+    addr, sep, zone = inner.partition("%")
+    if sep and not _JVM_ZONE_RE.fullmatch(zone):
+        return False
+    try:
+        ipaddress.IPv6Address(addr)
+    except ValueError:
+        return False
+    return True
+
+
 def host_py(canonical_url: str) -> str:
-    # hostname (not netloc): lower-cased, port dropped — matches
-    # try_parse_url(..., 'HOST') in host_col (ADVICE r01). Every JVM
-    # rejection (illegal bytes, brackets outside query/fragment, >1
-    # '@' in the authority, non-numeric port, host outside the
-    # hostname grammar, escaped bytes in the authority) is mirrored as
-    # "" so engine and oracle drop the SAME rows via the P2 validity
-    # predicate.
+    """hostname (not netloc): lower-cased, port dropped — matches
+    try_parse_url(..., 'HOST') in host_col (ADVICE r01). Every JVM
+    rejection (illegal bytes, brackets outside a server authority's
+    IPv6 literal, >1 '@' in the authority, non-numeric port, host
+    outside the hostname grammar, escaped bytes in the authority) is
+    mirrored as "" so engine and oracle drop the SAME rows via the P2
+    validity predicate."""
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", canonical_url)
+    if m:
+        auth = m.group(1)
+        if auth.count("@") <= 1:
+            hostport = auth.rsplit("@", 1)[-1]
+            if hostport.startswith("["):
+                mb = _BRACKET_HOSTPORT_RE.fullmatch(hostport)
+                if not mb or not _jvm_valid_ipv6_literal(mb.group(1)):
+                    return ""
+                # mask the literal (its brackets and zone '%' are legal
+                # ONLY here) and re-run every generic check — illegal
+                # bytes in userinfo/path, stray '%' escapes, double
+                # '#', extra brackets — on the rest of the URL
+                start = m.end(1) - len(hostport)
+                end = start + len(mb.group(1)) + 2  # past the ']'
+                rest = canonical_url[:start] + "h" + canonical_url[end:]
+                if _generic_host(rest) != "h":
+                    return ""
+                return "[" + mb.group(1).lower() + "]"
+    return _generic_host(canonical_url)
+
+
+def _generic_host(canonical_url: str) -> str:
     if _JVM_ILLEGAL_ANY.search(canonical_url):
         return ""
     if canonical_url.count("#") > 1:

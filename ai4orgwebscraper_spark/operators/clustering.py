@@ -59,12 +59,15 @@ def kmeans(
     Init = the embeddings of the k smallest vec_ids (deterministic —
     k-means++ would need RNG; at 10^10 rows you would init from a
     driver-side sample exactly like this). Empty clusters keep their
-    previous centroid."""
-    dim_count = len(vectors.select("embedding").first()["embedding"])
-    cents = [
-        [float(x) for x in r["embedding"]]
-        for r in vectors.orderBy("vec_id").limit(k).collect()
-    ]
+    previous centroid. k clamps to the row count (ADVICE r04: fewer
+    than k rows used to IndexError on the empty-cluster fallback);
+    an empty input returns an empty assignment and no centroids."""
+    init_rows = vectors.orderBy("vec_id").limit(k).collect()
+    if not init_rows:
+        return vectors.limit(0).withColumn("cluster", F.lit(0)), []
+    cents = [[float(x) for x in r["embedding"]] for r in init_rows]
+    k = len(cents)
+    dim_count = len(cents[0])
     for _ in range(iterations):
         assigned = _assign(vectors, cents)
         stats = (
@@ -95,7 +98,10 @@ def kmeans_py(
         return sum((x - y) * (x - y) for x, y in zip(a, b))
 
     ids = sorted(vecs)
+    if not ids:
+        return {}, []
     cents = [[float(x) for x in vecs[i]] for i in ids[:k]]
+    k = len(cents)
     dim_count = len(cents[0])
     assign: dict[int, int] = {}
     for _ in range(iterations):
@@ -119,6 +125,10 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_clustering.py."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assigned, cents = kmeans(emb)
+    if not cents:
+        return spark.createDataFrame(
+            [], "cluster int, n_vectors bigint, avg_dist double"
+        )
     dist = F.sqrt(
         F.aggregate(
             F.zip_with(

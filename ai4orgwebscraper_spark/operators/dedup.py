@@ -35,17 +35,37 @@ SEEDS_PER_BAND = 2  # -> 4 bands
 # reuse preserves Spark's identical-plan cache semantics — an
 # unpersist-then-repersist would force a full recompute per call),
 # so session storage stays bounded at one cached DF per site without
-# ever discarding a warm cache (ADVICE r02 + review r03)
-_PINNED: dict[tuple[str, str], DataFrame] = {}
+# ever discarding a warm cache (ADVICE r02 + review r03). The pin
+# carries a cheap data fingerprint (documents parquet mtimes) so a
+# regenerated sf_dir in the SAME session invalidates the cache instead
+# of silently serving stale shingles (ADVICE r04).
+_PINNED: dict[tuple[str, str], tuple[float, DataFrame]] = {}
+
+
+def _data_fingerprint(sf_dir: str) -> float:
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtimes = [os.path.getmtime(p)]
+        if os.path.isdir(p):
+            mtimes += [e.stat().st_mtime for e in os.scandir(p)]
+        return max(mtimes)
+    except OSError:
+        return 0.0
 
 
 def _pin(site: str, sf_dir: str, df: DataFrame) -> DataFrame:
     key = (site, sf_dir)
-    old = _PINNED.get(key)
-    if old is not None:
+    fp = _data_fingerprint(sf_dir)
+    cached = _PINNED.get(key)
+    if cached is not None:
+        old_fp, old = cached
         try:
+            if old.sparkSession is df.sparkSession and old_fp == fp:
+                return old  # same live session + same data: warm cache
             if old.sparkSession is df.sparkSession:
-                return old  # same live session: reuse the warm cache
+                old.unpersist(blocking=False)  # data changed: invalidate
             # session changed (stopped + recreated): the old context is
             # gone — drop the stale reference WITHOUT unpersist (which
             # would raise on the dead context)
@@ -53,7 +73,7 @@ def _pin(site: str, sf_dir: str, df: DataFrame) -> DataFrame:
             pass
         _PINNED.pop(key, None)
     df = df.persist()
-    _PINNED[key] = df
+    _PINNED[key] = (fp, df)
     return df
 # junk-band suppression (standard LSH practice): a bucket with more
 # members than this carries no discriminative signal and would emit

@@ -21,6 +21,7 @@ url_hash-equality makes every winner equivalent.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,7 +80,10 @@ def stream_seed_ingestion(
     q = writer.start()
     q.processAllAvailable()
     q.stop()
-    try:
-        return spark.read.parquet(out_dir)
-    except Exception:  # no batch produced any rows — empty increment
+    # distinguish "no micro-batch produced rows" (no part files — an
+    # empty increment) from genuine read failures (corrupt files,
+    # permission errors), which must PROPAGATE (ADVICE r03: the old
+    # bare except silently converted those into an empty increment)
+    if not any(f.startswith("part-") for f in os.listdir(out_dir)):
         return spark.createDataFrame([], "url_hash string, url string, host string")
+    return spark.read.parquet(out_dir)

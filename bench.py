@@ -58,8 +58,11 @@ HEADLINE = [
 # regression from VM noise. Each query runs N_RUNS times in
 # round-robin order (q1..qn, q1..qn, ...) so a steal spike hits ONE
 # pass of every query instead of every pass of one query; the
-# headline number is the per-query BEST (closest to true engine
-# cost), with medians + all runs recorded for honesty.
+# headline number is the per-query MEDIAN (ADVICE r03: best-of-N can
+# mask a regression that only shows under contention), with per-query
+# best + all raw runs recorded alongside. Protocol history: r1-r2
+# single-run, r3 best-of-3, r4+ median-of-3 — compare medians across
+# rounds, not the r3 best-based total.
 BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
@@ -124,8 +127,9 @@ def main_default(sf_dir: str, cpus: int) -> None:
             df = qs[name](spark, sf_dir)
             df.collect()
             runs[name].append(round(time.time() - t0, 3))
-    times = {name: min(rs) for name, rs in runs.items()}
+    best = {name: min(rs) for name, rs in runs.items()}
     medians = {name: sorted(rs)[len(rs) // 2] for name, rs in runs.items()}
+    times = dict(medians)  # headline = median (see protocol note above)
 
     # frontier throughput (the BASELINE.json headline metric).
     # The shared sandbox host has multi-x steal-time swings (observed
@@ -157,8 +161,10 @@ def main_default(sf_dir: str, cpus: int) -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_median": medians,
+                "queries_best": best,
                 "queries_runs": runs,
                 "bench_runs": BENCH_RUNS,
+                "headline_protocol": "median-of-%d interleaved (r1-r2 single-run, r3 best-of-3)" % BENCH_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "frontier_urls_per_sec": ups,
                 "frontier_urls": fetched,

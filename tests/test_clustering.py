@@ -56,3 +56,27 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert got == want
     for c_spark, c_py in zip(cents, want_cents):
         assert max(abs(a - b) for a, b in zip(c_spark, c_py)) < 1e-9
+
+
+def test_kmeans_small_inputs_clamp_k(spark):
+    """ADVICE r04: an empty table returns an empty assignment (no
+    TypeError on .first()), and n < k clamps k to n instead of
+    IndexError-ing on the empty-cluster fallback."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assigned, cents = kmeans(empty, k=5, iterations=3)
+    assert assigned.count() == 0
+    assert cents == []
+    got_py, cents_py = kmeans_py({}, k=5, iterations=3)
+    assert got_py == {} and cents_py == []
+
+    vecs = {0: [0.0, 1.0], 1: [9.0, 9.0]}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    assigned, cents = kmeans(df, k=7, iterations=3)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    want, want_cents = kmeans_py(vecs, k=7, iterations=3)
+    assert got == want
+    assert len(cents) == 2 == len(want_cents)
+    for c_spark, c_py in zip(cents, want_cents):
+        assert max(abs(a - b) for a, b in zip(c_spark, c_py)) < 1e-9

@@ -76,3 +76,27 @@ def test_streaming_seed_ingestion_is_incremental(spark, tmp_path):
     first_keys = {r["url_hash"] for r in first.collect()}
     assert first_keys | got_keys == set(want)
     assert not (first_keys & got_keys)  # nothing admitted twice
+
+
+def test_corrupt_output_raises_instead_of_empty(spark, tmp_path):
+    """ADVICE r04: a genuine read failure in the admitted-output dir
+    must PROPAGATE, not be silently reported as an empty increment."""
+    import pytest
+
+    seed_dir = tmp_path / "seeds_corrupt"
+    os.makedirs(seed_dir)  # no seed files: stream admits nothing
+    out_dir = tmp_path / "out_corrupt"
+    os.makedirs(out_dir)
+    (out_dir / "part-00000-garbage.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        stream_seed_ingestion(spark, str(seed_dir), out_dir=str(out_dir)).collect()
+
+
+def test_no_rows_admitted_returns_empty_increment(spark, tmp_path):
+    """The empty-increment path keys on 'no part files', not on a
+    swallowed exception."""
+    seed_dir = tmp_path / "seeds_none"
+    os.makedirs(seed_dir)
+    out = stream_seed_ingestion(spark, str(seed_dir))
+    assert out.count() == 0
+    assert out.columns == ["url_hash", "url", "host"]

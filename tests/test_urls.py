@@ -120,6 +120,35 @@ def test_host_parity_fuzz_including_malformed(spark):
         "https://a.com?x[y]", "https://a.com/p[q]", "https://a_b.com/x",
         "https://-a.com/x", "https://h.com/p%p", "https://h%41.com/x",
     ]
+    urls += [  # IPv6 server authorities (ADVICE r04 carve-out), pinned
+        "https://[::1]/a", "https://[::1]:8080/a", "https://[2001:db8::1]/x",
+        "https://[abc]/x", "https://[1.2.3.4]/x", "https://[v1.future]/x",
+        "https://[fe80::1%25eth0]/x", "https://[fe80::1%eth0]/x",
+        "https://u@[::1]/x", "https://[::1", "https://a[b.com/x",
+        "https://[::ffff:1.2.3.4]/x", "https://[0:0:0:0:0:0:0:1]/x",
+        "https://[]/x", "https://[:::1]/x", "https://[1::2::3]/x",
+        "https://[12345::1]/x", "https://[::1]x/x", "https://[::1]:abc/x",
+        "https://[::FFFF]/x", "https://[1:2:3:4:5:6:7:8]/x",
+        "https://[1:2:3:4:5:6:7]/x", "https://[1:2:3:4:5:6:7:8:9]/x",
+        "https://[::ffff:300.1.2.3]/x", "https://[2001:db8::1]:0/x",
+        "https://[2001:db8::1]:/x", "https://u:p@[2001:db8::1]:443/x",
+        "https://[::0001]/x", "https://[::]/x", "https://[1.2.3.4::]/x",
+        "https://[::1.2.3.4]/x", "https://[1:2:3:4:5:6:1.2.3.4]/x",
+        "https://x[::1]/x", "https://[::1]@a.com/x", "https://[[::1]]/x",
+        "https://[fe80::1%]/x", "https://[fe80::1%%]/x",
+        "https://[fe80::1%e-th0]/x", "https://[fe80::1%e.0]/x",
+        "https://[fe80::1%e_0]/x", "https://[%eth0]/x",
+        "https://[::1%eth0:80]/x", 'https://[fe80::1%e"h]/x',
+        "https://[fe80::1%e|h]/x", "https://[fe80::1%eth0%]/x",
+        "https://u\"x@[::1]/p", "https://[::1]/p%p", "https://[::1]/a#b#c",
+    ]
+    # random bracket-authority fuzz: IPv6-ish alphabet inside brackets
+    v6chars = "0123456789abcdefABCDEF:.%_"
+    for _ in range(600):
+        n = random.randint(1, 24)
+        inner = "".join(random.choice(v6chars) for _ in range(n))
+        port = random.choice(["", ":80", ":", ":x", "x"])
+        urls.append(f"https://[{inner}]{port}/p")
     canons = [
         r["canon"]
         for r in spark.createDataFrame([(u,) for u in urls], "url string")
