@@ -11,7 +11,9 @@ rounded explicitly on both sides.
 
 from ai4orgwebscraper_spark.operators import (  # noqa: F401
     analytics,
+    clustering,
     dedup,
+    graph,
     multimodal,
     relational,
     similarity,
@@ -21,6 +23,6 @@ from ai4orgwebscraper_spark.operators import (  # noqa: F401
 
 QUERIES = {}
 ORACLES = {}
-for _m in (relational, analytics, text, dedup, similarity, temporal):
+for _m in (relational, analytics, text, dedup, similarity, clustering, graph, temporal):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -124,3 +124,88 @@ def pagerank_py(
             new[v] = base + damping * (inflow + dangling / n)
         ranks = new
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# Driver-oracled PageRank over the sf fixtures (VERDICT r03 next #4):
+# a deterministic synthetic link graph — nodes = suppliers, edges =
+# DISTINCT (l_suppkey -> l_partkey % |suppliers| + 1) from lineitem —
+# run through the SAME pagerank() iteration the crawl entry uses, and
+# checked against the 10-step loop unrolled as chained CTE stages in
+# DuckDB. Ranks rounded to 8 decimals (fp summation-order differences
+# between engines are ~1e-14; rank magnitudes ~1e-2).
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai4orgwebscraper_spark.sources.readers import load_table
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    n_supp = supplier.count()
+    nodes = supplier.select(F.col("s_suppkey").alias("id"))
+    sparse = lineitem.filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 7 == 0)
+    )
+    x = F.col("l_partkey") % F.lit(n_supp)
+    # quadratic density: dst = floor(x^2 / n) skews in-degree toward
+    # low ids, and the l_linenumber/l_orderkey filter sparsifies the
+    # graph (out-degrees 5-22), so ranks actually spread (a dense
+    # uniform dst would make the
+    # graph near-regular, every rank ~1/n — no iteration signal)
+    edges = sparse.select(
+        F.col("l_suppkey").alias("src"),
+        F.floor((x * x) / F.lit(n_supp)).cast("long").alias("dst"),
+    ).distinct()
+    ranks = pagerank(spark, nodes, edges)
+    return ranks.select("id", F.round("rank", 8).alias("rank")).orderBy(
+        F.desc("rank"), "id"
+    )
+
+
+def _pagerank_oracle_sql(iterations: int = ITERATIONS, damping: float = DAMPING) -> str:
+    """The damped power method unrolled: each step is one
+    inflow-aggregation LEFT JOIN plus the 1-row dangling-mass
+    cross join — the literal SQL of pagerank()'s per-step plan."""
+    parts = [
+        "nodes AS MATERIALIZED (SELECT s_suppkey AS id FROM supplier)",
+        "par AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
+        """edges AS MATERIALIZED (
+            SELECT DISTINCT l_suppkey AS src,
+                   ((l_partkey % (SELECT count(*) FROM supplier)) * (l_partkey % (SELECT count(*) FROM supplier))) // (SELECT count(*) FROM supplier) AS dst
+            FROM lineitem
+            WHERE l_linenumber = 1 AND l_orderkey % 7 = 0
+        )""",
+        """adj AS MATERIALIZED (
+            SELECT e.src, e.dst, d.outdeg
+            FROM edges e JOIN (SELECT src, count(*) AS outdeg
+                               FROM edges GROUP BY src) d USING (src)
+        )""",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM par) AS rank FROM nodes)",
+        "linkers AS MATERIALIZED (SELECT DISTINCT src FROM adj)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""r{i} AS MATERIALIZED (
+            SELECT n.id,
+                   ((1.0 - {damping}) / p.n)
+                   + {damping} * (COALESCE(inf.inflow, 0.0) + dm.dm / p.n) AS rank
+            FROM nodes n
+            CROSS JOIN par p
+            CROSS JOIN (SELECT COALESCE(sum(rank), 0.0) AS dm FROM r{i - 1}
+                        WHERE id NOT IN (SELECT src FROM linkers)) dm
+            LEFT JOIN (SELECT a.dst AS id, sum(r.rank / a.outdeg) AS inflow
+                       FROM adj a JOIN r{i - 1} r ON a.src = r.id
+                       GROUP BY a.dst) inf ON n.id = inf.id
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT id, round(rank, 8) AS rank FROM r{iterations}
+        ORDER BY rank DESC, id
+    """
+    )
+
+
+QUERIES = {"q_pagerank": q_pagerank}
+ORACLES = {"q_pagerank": _pagerank_oracle_sql()}

@@ -25,15 +25,14 @@ Why each piece exists:
 
 from __future__ import annotations
 
-import atexit
 import os
-import shutil
-import tempfile
 from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ai4orgwebscraper_spark.plans.spill import BudgetedSpillDir
 
 ROWS_PER_PARTITION = 500_000
 
@@ -53,6 +52,7 @@ def loop_width(spark: SparkSession, n_state_rows: int) -> int:
 class SpillLoop:
     spill: Callable[[DataFrame, int], DataFrame]
     loop_parts: int
+    dirs: BudgetedSpillDir
 
 
 @contextmanager
@@ -67,11 +67,12 @@ def spill_loop(
     ``statics`` are persisted and force-materialized at the SESSION
     shuffle width before the width is narrowed for the loop, then
     unpersisted on exit. Inside the block, ``ctx.spill(df, i)`` writes
-    step ``i`` to tmpfs, deletes step ``i-2``, and returns the
+    step ``i`` to the budgeted spill dir (tmpfs until the live-bytes
+    budget is hit, disk after — VERDICT r03: unguarded tmpfs ENOSPCs
+    at 10^9-node state), deletes step ``i-2``, and returns the
     lineage-free reader."""
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    state_dir = tempfile.mkdtemp(prefix=prefix, dir=base)
-    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    dirs = BudgetedSpillDir(prefix)
+    step_paths: dict[int, str] = {}
 
     sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     loop_parts = loop_width(spark, n_state_rows)
@@ -82,14 +83,18 @@ def spill_loop(
         s.count()  # materialize heavy upstream lineage at session width
 
     def spill(df: DataFrame, i: int) -> DataFrame:
-        path = os.path.join(state_dir, f"step_{i}")
+        path = os.path.join(dirs.next_dir(), f"step_{i}")
         df.write.mode("overwrite").parquet(path)
-        shutil.rmtree(os.path.join(state_dir, f"step_{i - 2}"), ignore_errors=True)
+        dirs.note_written(path)
+        step_paths[i] = path
+        old = step_paths.pop(i - 2, None)
+        if old:
+            dirs.delete(old)
         return spark.read.parquet(path)
 
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
-        yield SpillLoop(spill=spill, loop_parts=loop_parts)
+        yield SpillLoop(spill=spill, loop_parts=loop_parts, dirs=dirs)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
         for s in statics:

@@ -87,3 +87,84 @@ def stream_seed_ingestion(
     if not any(f.startswith("part-") for f in os.listdir(out_dir)):
         return spark.createDataFrame([], "url_hash string, url string, host string")
     return spark.read.parquet(out_dir)
+
+
+def stream_seed_crawl(
+    spark: SparkSession,
+    seed_dir: str,
+    checkpoint_dir: str | None = None,
+    out_dir: str | None = None,
+    engine=None,
+):
+    """Continuous ingestion wired END-TO-END into the engine (VERDICT
+    r03 next #5): each admitted micro-batch becomes one reference-mode
+    ``CrawlEngine`` round, with the global sequence (and therefore the
+    simulated politeness clock, a pure function of seq) CONTINUED
+    across rounds via ``run(seq_offset=...)``. The union of the
+    per-trigger fetch_logs therefore equals — column for column,
+    including seq and fetched_at_ms — the batch engine's fetch_log on
+    the concatenated deduped seed files in admission order
+    (tests/test_seed_stream.py).
+
+    Admission order: across triggers, first-seen file order (the
+    state-store dedup admits each url_hash exactly once); within a
+    trigger, canonical-URL sort (the file stream source does not
+    expose line numbers — documented determinism, not an accident).
+
+    The per-trigger ``collect`` is the admitted seed INCREMENT — the
+    reference's seed-list scale (caps 100/9), mirroring
+    ``seeds_from_list``; the crawl itself stays distributed. A
+    production deployment at frontier scale would append the increment
+    DataFrame to the frontier table instead (the BFS path's seed
+    delta), same plan shape.
+
+    Returns the cumulative fetch_log of all rounds as a batch
+    DataFrame.
+    """
+    import tempfile
+
+    from ai4orgwebscraper_spark.frontier.engine import CrawlEngine
+
+    if engine is None:
+        engine = CrawlEngine(spark, reference_mode=True)
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix=f"seed_crawl_{uuid.uuid4().hex[:8]}_")
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(seed_dir)
+    )
+    canon = (
+        raw.select(U.canonicalize_col(F.col("value")).alias("url"))
+        .filter(F.col("url").isNotNull())
+        .select(
+            U.url_hash_col(F.col("url")).alias("url_hash"),
+            "url",
+            U.host_col(F.col("url")).alias("host"),
+        )
+        .filter(F.col("host").isNotNull() & (F.col("host") != ""))
+        .dropDuplicates(["url_hash"])
+    )
+    state = {"n_admitted": 0}
+
+    def _crawl_round(batch_df: DataFrame, batch_id: int) -> None:
+        urls = sorted(r["url"] for r in batch_df.select("url").collect())
+        if not urls:
+            return
+        out = engine.run(
+            engine.seeds_from_list(urls), seq_offset=state["n_admitted"]
+        )
+        out.fetch_log.write.mode("append").parquet(out_dir)
+        state["n_admitted"] += len(urls)
+
+    writer = canon.writeStream.foreachBatch(_crawl_round).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    if not any(f.startswith("part-") for f in os.listdir(out_dir)):
+        from ai4orgwebscraper_spark import schemas
+
+        return spark.createDataFrame([], schemas.FETCH_LOG)
+    return spark.read.parquet(out_dir)

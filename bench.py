@@ -50,6 +50,10 @@ HEADLINE = [
     "q_knn_bruteforce",
     "q_knn_ivf",
     "q_embedding_neardup",
+    # iterative-family legs (VERDICT r03 next #7): the two remaining
+    # fixpoint operators tracked alongside q_dedup_clusters
+    "kmeans_embeddings",
+    "q_pagerank",
 ]
 
 # interleaved repeats (VERDICT r02 item 1): the shared host's

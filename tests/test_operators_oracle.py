@@ -42,8 +42,6 @@ def test_every_query_is_registered():
         "crawl_internal_external",
         "crawl_status_breakdown",
         "crawl_pagerank",
-        "kmeans_embeddings",
-        "q_knn_ivf_learned",
         "streaming_seed_ingestion",
         "multimodal_decode",
         "multimodal_knn",

@@ -34,8 +34,9 @@ def test_spill_overflow_falls_back_to_disk(spark, monkeypatch):
     out = engine.run(engine.seeds_from_list(seed_urls(30)))
     n = out.fetch_log.count()
     assert n > 0
-    assert engine._overflow_dir is not None and os.path.isdir(engine._overflow_dir)
-    assert any(os.scandir(engine._overflow_dir))  # later spills landed on disk
-    assert any(os.scandir(engine._state_dir))  # earlier spills untouched
+    dirs = engine._spill_dirs
+    assert dirs.overflow is not None and os.path.isdir(dirs.overflow)
+    assert any(os.scandir(dirs.overflow))  # later spills landed on disk
+    assert any(os.scandir(dirs.primary))  # earlier spills untouched
     engine.close()
-    assert not os.path.exists(engine._overflow_dir)
+    assert not os.path.exists(dirs.overflow)
