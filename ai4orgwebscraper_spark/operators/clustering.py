@@ -28,27 +28,50 @@ K = 10
 ITERATIONS = 5
 
 
-def _assign(vectors: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """vectors + `cluster` column: argmin L2 over the literal centroid
-    array, ties to the lower cluster id — one narrow projection."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("embedding"),
-                        F.array(*[F.lit(float(v)) for v in c]),
-                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d2"),
-                F.lit(j).alias("cluster"),
-            )
-            for j, c in enumerate(cents)
-        ]
+def _cents_df(spark: SparkSession, cents: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(j, [float(v) for v in c]) for j, c in enumerate(cents)],
+        "cluster int, cent_vec array<double>",
     )
-    return vectors.withColumn("cluster", F.array_sort(scored)[0]["cluster"])
+
+
+def _d2(vec_col, cent_vec):
+    return F.aggregate(
+        F.zip_with(
+            vec_col, cent_vec,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(vectors: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """vectors + `cluster` column: argmin L2 over the broadcast
+    centroid array, ties to the lower cluster id — a single-row
+    broadcast join + one narrow in-row fold (the shuffle-free layout
+    of similarity._centroid_ranked). Centroids travel as DATA, not as
+    literal expressions: a k x dim literal tree made every iteration
+    recompile codegen (~1s/iteration at k=10, dim=64); with data the
+    generated code is identical across iterations and hits the
+    codegen cache."""
+    packed = _cents_df(vectors.sparkSession, cents).agg(
+        F.collect_list(F.struct("cluster", "cent_vec")).alias("cents")
+    )
+    scored = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _d2(F.col("embedding"), c["cent_vec"]).alias("d2"),
+                c["cluster"].alias("cluster"),
+            ),
+        )
+    )
+    return (
+        vectors.crossJoin(F.broadcast(packed))
+        .withColumn("cluster", scored[0]["cluster"])
+        .drop("cents")
+    )
 
 
 def kmeans(
@@ -68,23 +91,40 @@ def kmeans(
     cents = [[float(x) for x in r["embedding"]] for r in init_rows]
     k = len(cents)
     dim_count = len(cents[0])
-    for _ in range(iterations):
-        assigned = _assign(vectors, cents)
-        stats = (
-            assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
-            .collect()
-        )  # k x dim model-state rows — never data-scale
-        sums: dict[int, list[float]] = {}
-        counts: dict[int, int] = {}
-        for r in stats:
-            sums.setdefault(r["cluster"], [0.0] * dim_count)[r["dim"]] = r["s"]
-            counts[r["cluster"]] = r["n"]
-        cents = [
-            [s / counts[j] for s in sums[j]] if j in counts else cents[j]
-            for j in range(k)
-        ]
+    # the vectors are scanned once per iteration — cache them for the
+    # loop (unpersist before returning: the returned assignment plan
+    # reads the same cache-keyed plan, so the final consumer re-reads
+    # source, which is correct and bounded)
+    vectors = vectors.persist()
+    spark = vectors.sparkSession
+    sess_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    # the stats shuffle carries k x dim rows per map task — at the
+    # session width (corpus-tuned) the final agg is 32 near-empty
+    # tasks x 2 stages per iteration of pure scheduling overhead
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(sess_parts), max(1, k)))
+    )
+    try:
+        for _ in range(iterations):
+            assigned = _assign(vectors, cents)
+            stats = (
+                assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+                .groupBy("cluster", "dim")
+                .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
+                .collect()
+            )  # k x dim model-state rows — never data-scale
+            sums: dict[int, list[float]] = {}
+            counts: dict[int, int] = {}
+            for r in stats:
+                sums.setdefault(r["cluster"], [0.0] * dim_count)[r["dim"]] = r["s"]
+                counts[r["cluster"]] = r["n"]
+            cents = [
+                [s / counts[j] for s in sums[j]] if j in counts else cents[j]
+                for j in range(k)
+            ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
+        vectors.unpersist(blocking=False)
     return _assign(vectors, cents), cents
 
 
@@ -131,22 +171,9 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "cluster bigint, n_vectors bigint, avg_dist double"
         )
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.element_at(
-                    F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents]),
-                    F.col("cluster") + 1,
-                ),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
     return (
-        assigned.withColumn("dist", dist)
+        assigned.join(F.broadcast(_cents_df(spark, cents)), "cluster")
+        .withColumn("dist", F.sqrt(_d2(F.col("embedding"), F.col("cent_vec"))))
         .groupBy(F.col("cluster").cast("long").alias("cluster"))
         .agg(
             F.count("*").alias("n_vectors"),

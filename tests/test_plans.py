@@ -84,6 +84,9 @@ def test_all_oracle_query_plans_free_of_scale_antipatterns(spark):
     NESTED_OK = {
         "q_knn_bruteforce", "q_knn_lsh", "q_knn_ivf",
         "q_knn_ivf_multiprobe", "q_embedding_neardup",
+        # kmeans assignment: 1-row broadcast of the packed centroid
+        # array (clustering._assign) — intentional cross join
+        "kmeans_embeddings", "q_knn_ivf_learned",
     }
     # streaming queries execute eagerly inside; crawl entries are not
     # single DataFrames
