@@ -143,6 +143,8 @@ class CrawlEngine:
         collect_metrics: bool = False,
         use_bloom_prefilter: bool | str = "auto",
         seen_filter: str = "bloom",
+        rank_scores: DataFrame | None = None,
+        rank_scores_tag: str = "",
     ):
         self.spark = spark
         self.hosts_rows = hosts if hosts is not None else default_hosts()
@@ -163,6 +165,17 @@ class CrawlEngine:
         if seen_filter not in ("bloom", "cuckoo"):
             raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
         self.seen_filter = seen_filter
+        # rank-weighted frontier priority (north rule: "priority queue
+        # (depth + host-budget score)"; graph.py's PageRank is the
+        # canonical producer): (url_hash, score) joined into each
+        # round's frontier; within a depth, higher-scored URLs admit
+        # first. Semantics-bearing — resume validation hashes the
+        # caller-supplied tag (the score TABLE can be 10^10 rows; its
+        # content can't be fingerprinted by collecting).
+        self.rank_scores = rank_scores
+        self.rank_scores_tag = rank_scores_tag or (
+            "scored" if rank_scores is not None else ""
+        )
         # budgeted tmpfs spill dir for iterative-state truncation (see
         # _spill): shared helper with plans.iterate.spill_loop (ADVICE
         # r02 / VERDICT r03 weak #2 — never ENOSPC a RAM-backed tmpfs;
@@ -183,6 +196,7 @@ class CrawlEngine:
                 "default_rps": self.default_rps,
                 "round_seconds": self.round_seconds,
                 "max_depth": self.max_depth,
+                "rank_scores_tag": self.rank_scores_tag,
                 "hosts": sorted(
                     (json.dumps(h, sort_keys=True, default=str) for h in self.hosts_rows)
                 ),
@@ -332,16 +346,38 @@ class CrawlEngine:
         return CrawlOutputs(fetch_log, documents, seen, {"rounds": 1}, outlinks=outlinks)
 
     # --- scale path: multi-round BFS with politeness --------------------
+    # quantization of the rank-weighted priority (oracle lockstep:
+    # frontier/oracle.py uses the same constants): within a depth,
+    # priority = depth * DEPTH_SCALE - floor(score * SCORE_QUANTUM),
+    # so higher-scored URLs run first and depth stays the major key.
+    PRIORITY_DEPTH_SCALE = 10**10
+    PRIORITY_SCORE_QUANTUM = 1e9
+
     @staticmethod
     def priority_col():
         """Frontier priority score (north rule: 'priority queue (depth +
         host-budget score)'): lower runs first. Default = depth — pure
-        BFS, which is what the normative oracle specifies. The host-
-        budget component is an extension hook: e.g.
-        ``depth * 1000 + host_backlog_rank`` de-prioritizes URLs on
-        congested hosts; any deterministic expression over frontier
-        columns keeps replay exact (change the oracle in lockstep)."""
+        BFS, which is what the normative oracle specifies. With
+        ``rank_scores`` the engine uses ``_ranked_priority`` instead
+        (deterministic quantized score fold; oracle in lockstep via
+        bfs_crawl(rank_scores=...))."""
         return F.col("depth").cast("long")
+
+    def _ranked_priority(self, planned: DataFrame) -> DataFrame:
+        """Join (url_hash, score) and fold it under depth. The join is
+        keyed on url_hash — co-partitioned with the frontier's own
+        layout at scale; AQE broadcasts when the score table is small.
+        Missing URLs score 0 (crawled last within their depth)."""
+        scored = planned.join(
+            self.rank_scores.select("url_hash", "score"), "url_hash", "left"
+        )
+        prio = F.col("depth").cast("long") * F.lit(
+            self.PRIORITY_DEPTH_SCALE
+        ) - F.floor(
+            F.coalesce(F.col("score"), F.lit(0.0))
+            * F.lit(self.PRIORITY_SCORE_QUANTUM)
+        ).cast("long")
+        return scored.withColumn("priority", prio).drop("score")
 
     def _host_plan(self, frontier: DataFrame) -> DataFrame:
         """Join per-host politeness config (broadcast — hosts is a small
@@ -474,7 +510,11 @@ class CrawlEngine:
             if frontier.isEmpty():
                 break
             _tick("isEmpty", _t)
-            planned = self._host_plan(frontier).withColumn("priority", self.priority_col())
+            planned = self._host_plan(frontier)
+            if self.rank_scores is not None:
+                planned = self._ranked_priority(planned)
+            else:
+                planned = planned.withColumn("priority", self.priority_col())
             w = Window.partitionBy("host").orderBy("priority", "seed_rank")
             planned = planned.withColumn("__rn", F.row_number().over(w))
             admitted = planned.filter(F.col("__rn") <= F.col("__budget"))

@@ -87,6 +87,7 @@ def bfs_crawl(
     max_depth: int = 1,
     round_seconds: float = 10.0,
     max_rounds: int = 50,
+    rank_scores: dict[str, float] | None = None,
 ) -> OracleResult:
     """Extended multi-round crawl spec (dedup + per-host politeness +
     C6 retry/fallback).
@@ -103,8 +104,19 @@ def bfs_crawl(
     ONCE with attempts=1 and fetched through the JS fetcher in a later
     round — round-delayed backoff, the reference's alternate-fetcher
     contract (reference web_scraper.py:46-48; SURVEY.md C6).
+
+    ``rank_scores`` (url_hash -> score) is the rank-weighted priority
+    twin of CrawlEngine(rank_scores=...): priority =
+    depth * 10^10 - floor(score * 1e9), lower first — identical
+    constants and float arithmetic, so engine order is spec'd exactly.
     """
     import math
+
+    def prio(depth: int, canon: str) -> int:
+        if rank_scores is None:
+            return depth
+        score = rank_scores.get(url_hash_py(canon), 0.0)
+        return depth * 10**10 - math.floor(score * 1e9)
 
     res = OracleResult()
     host_cfg = {h["host"]: h for h in hosts}
@@ -117,8 +129,9 @@ def bfs_crawl(
             gap_ms = max(gap_ms, cfg["crawl_delay_s"] * 1000.0)
         return gap_ms
 
-    # frontier entries: (depth, rank, canon, attempts)
-    frontier: list[tuple[int, int, str, int]] = []
+    # frontier entries: (priority, rank, depth, canon, attempts) —
+    # priority == depth unless rank_scores is given
+    frontier: list[tuple[int, int, int, str, int]] = []
     enqueued: set[str] = set()
     for rank, raw in enumerate(raw_seeds):
         canon = canonicalize_py(raw)
@@ -127,20 +140,20 @@ def bfs_crawl(
         res.seen[canon] = res.seen.get(canon, 0) + 1
         if canon not in enqueued:
             enqueued.add(canon)
-            frontier.append((0, rank, canon, 0))
+            frontier.append((prio(0, canon), rank, 0, canon, 0))
 
     seq = 0
     last_fetch: dict[str, int] = {}  # host -> last fetched_at_ms, all rounds
     for rnd in range(max_rounds):
         if not frontier:
             break
-        # per-host admission in (depth, rank) order
+        # per-host admission in (priority, rank) order
         frontier.sort()
-        admitted: list[tuple[int, int, str, int]] = []
-        rest: list[tuple[int, int, str, int]] = []
+        admitted: list[tuple[int, int, int, str, int]] = []
+        rest: list[tuple[int, int, int, str, int]] = []
         used: dict[str, int] = {}
         for entry in frontier:
-            host = host_py(entry[2])
+            host = host_py(entry[3])
             cfg = host_cfg.get(host, default_cfg)
             budget = int(cfg["rate_limit_rps"] * round_seconds)
             delay = cfg.get("crawl_delay_s")
@@ -158,7 +171,7 @@ def bfs_crawl(
         slot: dict[str, int] = {}
         start_ms: dict[str, int] = {}
         round_base_ms = int(rnd * round_seconds * 1000)
-        for depth, rank, canon, attempts in admitted:
+        for _priority, rank, depth, canon, attempts in admitted:
             host = host_py(canon)
             gap_ms = gap_for(host)
             if host not in start_ms:
@@ -200,7 +213,7 @@ def bfs_crawl(
                 # re-enqueue once through the JS fetcher; lands in a
                 # later round (round-delayed backoff), keeps its
                 # original order keys
-                frontier.append((depth, rank, canon, 1))
+                frontier.append((prio(depth, canon), rank, depth, canon, 1))
             if page.status == 200:
                 res.spans[page.url_hash] = list(page.spans)
                 if depth < max_depth:
@@ -222,7 +235,13 @@ def bfs_crawl(
                         if child not in enqueued:
                             enqueued.add(child)
                             frontier.append(
-                                (depth + 1, _rank_for_link(seq, li), child, 0)
+                                (
+                                    prio(depth + 1, child),
+                                    _rank_for_link(seq, li),
+                                    depth + 1,
+                                    child,
+                                    0,
+                                )
                             )
             seq += 1
     return res

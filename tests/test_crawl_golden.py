@@ -255,3 +255,62 @@ def test_bfs_robots_respected(bfs):
     for r in out.fetch_log.select("host", "url").collect():
         path = urlparse(r["url"]).path or ""
         assert not any(path.startswith(p) for p in rules.get(r["host"], []))
+
+
+def test_bfs_rank_weighted_priority_matches_oracle(spark):
+    """Rank-weighted frontier priority (north rule 'priority queue'):
+    crawl once, PageRank the discovered link graph, re-crawl with
+    rank_scores — the engine's fetch order must match the oracle twin
+    exactly, and must actually differ from the unranked BFS order
+    (the scores have an effect)."""
+    from pyspark.sql import functions as F
+
+    from ai4orgwebscraper_spark.functions import urls as U
+    from ai4orgwebscraper_spark.operators.graph import pagerank
+
+    seeds = seed_urls(30)
+    base = CrawlEngine(spark, hosts=default_hosts(), max_depth=1, max_rounds=30)
+    out0 = base.run(base.seeds_from_list(seeds))
+    base_order = [
+        r["url_hash"]
+        for r in out0.fetch_log.orderBy("seq").select("url_hash").collect()
+    ]
+    pages = out0.fetch_log.select("url_hash").distinct()
+    resolved = out0.outlinks.select(
+        F.col("url_hash").alias("src"),
+        U.url_hash_col(
+            U.canonicalize_col(U.resolve_outlink_col(F.col("host"), F.col("href")))
+        ).alias("dst"),
+    )
+    edges = (
+        resolved.join(pages.select(F.col("url_hash").alias("dst")), "dst")
+        .select("src", "dst")
+        .distinct()
+    )
+    ranks = pagerank(spark, pages.select(F.col("url_hash").alias("id")), edges)
+    scores = {r["id"]: float(r["rank"]) for r in ranks.collect()}
+
+    scored_df = spark.createDataFrame(
+        list(scores.items()), "url_hash string, score double"
+    )
+    eng = CrawlEngine(
+        spark, hosts=default_hosts(), max_depth=1, max_rounds=30,
+        rank_scores=scored_df, rank_scores_tag="pr_v1",
+    )
+    got = eng.run(eng.seeds_from_list(seeds)).fetch_log
+    got_rows = [
+        (r["seq"], r["url_hash"], r["round"], r["depth"], r["fetched_at_ms"])
+        for r in got.orderBy("seq").collect()
+    ]
+    want = bfs_crawl(
+        seeds, default_hosts(), max_depth=1, max_rounds=30, rank_scores=scores
+    )
+    want_rows = [
+        (r["seq"], r["url_hash"], r["round"], r["depth"], r["fetched_at_ms"])
+        for r in want.fetch_log
+    ]
+    assert got_rows == want_rows  # engine == oracle, order and clock
+    # the ranking changed the crawl order vs plain BFS
+    got_order = [t[1] for t in got_rows]
+    assert sorted(got_order) == sorted(base_order)  # same URL set
+    assert got_order != base_order
