@@ -72,8 +72,11 @@ class CrawlOutputs:
 def frontier_telemetry(frontier: DataFrame, seen: DataFrame) -> dict:
     """Cardinality + skew telemetry (SURVEY.md §2.4 note): HLL distinct
     estimates for frontier/seen (exact counts are a full shuffle at
-    10^10 rows; approx_count_distinct is one pass, mergeable) and the
-    per-host histogram used to size salting."""
+    10^10 rows; approx_count_distinct is one pass, mergeable), the
+    per-host histogram used to size salting, and a count-min sketch of
+    the host column (the §2.4 skew detector: one mergeable pass, no
+    groupBy shuffle — probe any host's approximate frontier share
+    without materializing the histogram)."""
     f = frontier.agg(
         F.approx_count_distinct("url_hash").alias("approx_urls"),
         F.approx_count_distinct("host").alias("approx_hosts"),
@@ -87,6 +90,22 @@ def frontier_telemetry(frontier: DataFrame, seen: DataFrame) -> dict:
         .limit(10)
         .collect()
     ]
+    # eps=0.1% of rows, 99.9% confidence; seed fixed for determinism.
+    # The SQL count_min_sketch aggregate builds the sketch in ONE
+    # mergeable pass (partial sketches merge across partitions/rounds —
+    # no groupBy shuffle); the binary deserializes driver-side for
+    # point probes. estimateCount over-counts only, never under.
+    raw = frontier.agg(
+        F.expr(
+            "count_min_sketch(host, cast(0.001 as double),"
+            " cast(0.999 as double), 42)"
+        ).alias("s")
+    ).collect()[0]["s"]
+    jvm = frontier.sparkSession._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(raw))
+    )
+    sketch_counts = {h: sketch.estimateCount(h) for h, _ in top_hosts}
     s = seen.agg(F.approx_count_distinct("url_hash").alias("approx_seen")).collect()[0]
     return {
         "frontier_rows": f["rows"],
@@ -94,6 +113,7 @@ def frontier_telemetry(frontier: DataFrame, seen: DataFrame) -> dict:
         "frontier_approx_hosts": f["approx_hosts"],
         "seen_approx_urls": s["approx_seen"],
         "top_hosts": top_hosts,
+        "host_sketch_counts": sketch_counts,
     }
 
 

@@ -20,6 +20,12 @@ def test_frontier_telemetry(spark):
     # skew surfaced: the hot host tops the histogram (FIXTURES.md: ~40%)
     assert t["top_hosts"][0][0] == SKEW_HOST
     assert t["top_hosts"][0][1] > t["top_hosts"][1][1]
+    # count-min sketch (SURVEY §2.4 skew detector): never under-counts,
+    # and at eps=0.1% of this tiny frontier the estimate is exact
+    exact = dict(t["top_hosts"])
+    for host, est in t["host_sketch_counts"].items():
+        assert est >= exact[host]
+        assert est <= exact[host] + max(3, 0.01 * t["frontier_rows"])
 
 
 def test_spill_overflow_falls_back_to_disk(spark, monkeypatch):
