@@ -287,7 +287,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the deferred oracles and the remaining rows-only entries.
     # COVERAGE.md documents the over-cap set; everything past the
     # window stays locally oracle-/twin-tested in tests/.
-    deferred = ["q_dedup_minhash_lsh", "q_knn_ivf_multiprobe"]
+    deferred = [
+        "q_dedup_minhash_lsh",
+        "q_knn_ivf_multiprobe",
+        # r4 additions kept past the cap so the verified 48-oracle
+        # window stays stable; both locally oracle-tested every run
+        "q_corpus_mix",
+        "q_doc_pack",
+    ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out["crawl_reference_parity"] = _crawl_reference_log
     out["crawl_documents_spans"] = _crawl_documents

@@ -167,9 +167,103 @@ def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# corpus mixing (q_corpus_mix): per-source epoch weights for training
+# mixtures ("2 epochs of wiki, half of web" — the knob every LLM data
+# recipe turns). Weight class = source index % 4 → (integer epochs,
+# fractional-part hex threshold on 3 md5 hex chars, i.e. x/4096):
+# 2.0, 1.25, 0.5, 0.75 epochs. The fractional epoch keeps a doc iff
+# md5(source#doc_id)[:3] < threshold — deterministic, repartition-
+# stable, identical bytes cross-engine (the q_doc_split rule).
+_MIX_EPOCHS = [2, 1, 0, 0]
+_MIX_FRAC_HEX = ["000", "400", "800", "c00"]  # 0, .25, .5, .75 of 4096
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture: emit each doc `copies` times (integer
+    epochs + md5-thresholded fractional epoch), then profile the
+    mixture per source. The explode IS the materialization a trainer
+    consumes; scale shape: one scan, narrow exprs, explode fan-out
+    bounded by max weight, one partial+final agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = F.substring("source", 4, 10).cast("int") % 4
+    epochs = F.element_at(F.array(*[F.lit(e) for e in _MIX_EPOCHS]), idx + 1)
+    thr = F.element_at(F.array(*[F.lit(t) for t in _MIX_FRAC_HEX]), idx + 1)
+    u3 = F.substring(
+        F.md5(F.concat_ws("#", "source", F.col("doc_id").cast("string"))), 1, 3
+    )
+    copies = epochs + F.when(u3 < thr, 1).otherwise(0)
+    mixture = (
+        docs.withColumn("copies", copies)
+        .filter(F.col("copies") > 0)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("epoch"),
+        )
+    )
+    return (
+        mixture.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_copies"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+PACK_CTX = 2048  # chars per packed training sequence (token proxy)
+
+
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing profile: concatenate each source's docs in
+    doc_id order into fixed-size context windows (contiguous packing —
+    what a dataloader does before training) and report bins, fill
+    ratio, and boundary-straddling docs per source.
+
+    Scale shape: the running sum is a window PARTITIONED BY source
+    (shard-local — never a single-partition window); packing is
+    per-shard at 100 TB by construction."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_chars").over(w)
+    before = cum - F.col("n_chars")
+    staged = docs.select(
+        "source",
+        "n_chars",
+        cum.alias("cum"),
+        F.floor(before / F.lit(PACK_CTX)).alias("bin_start"),
+        F.floor((cum - 1) / F.lit(PACK_CTX)).alias("bin_end"),
+    )
+    n_bins = F.floor((F.max("cum") + F.lit(PACK_CTX - 1)) / F.lit(PACK_CTX))
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            n_bins.cast("long").alias("n_bins"),
+            F.round(
+                F.max("cum") / (n_bins * F.lit(PACK_CTX)), 4
+            ).alias("avg_fill"),
+            F.sum(
+                F.when(F.col("bin_start") != F.col("bin_end"), 1).otherwise(0)
+            ).alias("n_straddlers"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q_word_topk": q_word_topk,
     "q_doc_split": q_doc_split,
+    "q_corpus_mix": q_corpus_mix,
+    "q_doc_pack": q_doc_pack,
     "q_doc_quality": q_doc_quality,
     "q_token_counts": q_token_counts,
     "q_lang_id": q_lang_id,
@@ -179,7 +273,55 @@ QUERIES = {
 
 _STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
 
+_MIX_EPOCH_CASE = (
+    "(CASE cls WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END)"
+)
+_MIX_THR_CASE = (
+    "(CASE cls WHEN 0 THEN '000' WHEN 1 THEN '400' "
+    "WHEN 2 THEN '800' ELSE 'c00' END)"
+)
+
 ORACLES = {
+    "q_corpus_mix": f"""
+        WITH w AS (
+            SELECT source, doc_id, n_chars,
+                   CAST(substr(source, 4) AS INT) % 4 AS cls,
+                   substr(md5(source || '#' || CAST(doc_id AS VARCHAR)), 1, 3) AS u3
+            FROM documents
+        ),
+        c AS (
+            SELECT source, doc_id, n_chars,
+                   {_MIX_EPOCH_CASE}
+                   + (CASE WHEN u3 < {_MIX_THR_CASE} THEN 1 ELSE 0 END) AS copies
+            FROM w
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(copies) AS BIGINT) AS n_copies,
+               CAST(sum(n_chars * copies) AS BIGINT) AS total_chars
+        FROM c WHERE copies > 0
+        GROUP BY source ORDER BY source
+    """,
+    "q_doc_pack": f"""
+        WITH staged AS (
+            SELECT source, n_chars,
+                   sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+            FROM documents
+        ),
+        b AS (
+            SELECT source, n_chars, cum,
+                   floor((cum - n_chars) / {PACK_CTX}.0) AS bin_start,
+                   floor((cum - 1) / {PACK_CTX}.0) AS bin_end
+            FROM staged
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(floor((max(cum) + {PACK_CTX - 1}) / {PACK_CTX}.0) AS BIGINT) AS n_bins,
+               round(max(cum) / (floor((max(cum) + {PACK_CTX - 1}) / {PACK_CTX}.0) * {PACK_CTX}), 4) AS avg_fill,
+               CAST(sum(CASE WHEN bin_start <> bin_end THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+        FROM b GROUP BY source ORDER BY source
+    """,
     "q_doc_split": """
         SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
