@@ -298,7 +298,12 @@ class CrawlEngine:
         self._pinned.clear()
         self._spill_dirs.cleanup()
 
-    def _salted_fetch(self, admitted: DataFrame) -> DataFrame:
+    # target rows per fetch task: python-worker spawn is ~0.3-0.5s with
+    # reuse off (session.py), so a near-empty late-round batch must not
+    # fan out to 2x-parallelism near-empty python workers
+    FETCH_ROWS_PER_TASK = 2000
+
+    def _salted_fetch(self, admitted: DataFrame, n_rows: int | None = None) -> DataFrame:
         """Distribute the admitted batch for fetching: salt the host
         hash so one hot host fans out across tasks (SURVEY.md §4.2#1),
         then run the vectorized fetch UDF.
@@ -306,8 +311,17 @@ class CrawlEngine:
         The salt must SCALE WITH PARALLELISM: a fixed salt caps the hot
         host (40% of the synthetic corpus) at salt_buckets tasks and
         flattens the 8->32-core speedup. Default: 8x parallelism, so
-        the hottest (host, salt) cell is ~0.4%/8 of the batch."""
+        the hottest (host, salt) cell is ~0.4%/8 of the batch.
+
+        ``n_rows`` (known for free from the global-seq offset pass)
+        bounds the fan-out: a 600-row retry round runs 1 python worker,
+        not 64 spawns of pandas-import tax."""
         n_parts = 2 * self.spark.sparkContext.defaultParallelism
+        if n_rows is not None:
+            n_parts = max(
+                1,
+                min(n_parts, -(-n_rows // self.FETCH_ROWS_PER_TASK)),
+            )
         buckets = self.salt_buckets or 8 * self.spark.sparkContext.defaultParallelism
         salted = admitted.withColumn(
             "__salt",
@@ -339,14 +353,18 @@ class CrawlEngine:
         # rows already in seed_rank order, so the range shuffle is
         # skipped (assume_sorted).
         gap_ms = 1000.0 / self.default_rps
+        seq_stats: dict = {}
         frontier = with_global_seq(
             self._canonical_seeds(seeds), ["seed_rank"], seq_col="seq",
             offset=seq_offset, assume_sorted=True, pin_registry=self._pinned,
+            stats=seq_stats,
         )
         frontier = frontier.withColumn(
             "fetched_at_ms", F.floor(F.col("seq") * F.lit(gap_ms)).cast("long")
         )
-        results = self._salted_fetch(frontier).withColumn("round", F.lit(0))
+        results = self._salted_fetch(
+            frontier, n_rows=seq_stats.get("rows")
+        ).withColumn("round", F.lit(0))
         fetch_log = results.select(*FETCH_LOG_COLS)
         documents = (
             results.filter(F.col("status") == 200)
@@ -567,10 +585,12 @@ class CrawlEngine:
                     F.col("session_token"),
                 )
             )
-            # global seq on the slim admitted rows, pre-fetch
+            # global seq on the slim admitted rows, pre-fetch; the
+            # offset pass hands back the exact admitted count for free
+            seq_stats: dict = {}
             admitted = with_global_seq(
                 admitted, ["priority", "seed_rank"], seq_col="seq",
-                offset=seq_counter, pin_registry=self._pinned,
+                offset=seq_counter, pin_registry=self._pinned, stats=seq_stats,
             )
             _tick("admission+seq", _t)
 
@@ -580,7 +600,7 @@ class CrawlEngine:
             # 10^10 scale checkpoint mode streams each round to parquet
             # instead)
             results = (
-                self._salted_fetch(admitted)
+                self._salted_fetch(admitted, n_rows=seq_stats.get("rows"))
                 .withColumn("round", F.lit(rnd))
                 .persist()
             )

@@ -39,6 +39,7 @@ def with_global_seq(
     num_partitions: int | None = None,
     assume_sorted: bool = False,
     pin_registry: list | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Add a dense 0-based (plus ``offset``) global sequence column
     ordered by ``order_cols``.
@@ -55,6 +56,11 @@ def with_global_seq(
     ``pin_registry`` (a list the pinned DataFrame is appended to) and
     unpersist the batch when their run closes, instead of leaking one
     cached DataFrame per round (ADVICE r01).
+
+    ``stats`` (optional dict) receives ``{"rows": total}`` — the exact
+    row count is a free by-product of the per-partition offset
+    collection, and callers use it to size downstream stages (e.g. the
+    engine's fetch fan-out) without paying another count job.
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
@@ -74,6 +80,8 @@ def with_global_seq(
     for p in sorted(counts):
         offsets.append((p, acc))
         acc += counts[p]
+    if stats is not None:
+        stats["rows"] = acc - offset
     offset_df = df.sparkSession.createDataFrame(offsets, "__pid long, __offset long")
     row_idx = F.col("__mid") - F.shiftleft(F.col("__pid"), _MID_BITS)
     return (
