@@ -21,13 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: reference-parity crawl → interleaved span documents."""
-    from ai4orgwebscraper_spark.frontier.engine import CrawlEngine
-    from ai4orgwebscraper_spark.sources.corpus import seed_urls
-
-    engine = CrawlEngine(spark, reference_mode=True)
-    out = engine.run(engine.seeds_from_list(seed_urls(100)))
-    return out.documents
+    """Flagship: reference-parity crawl → interleaved span documents.
+    Shares the session-memoized crawl with the analytics entries (the
+    driver calls entry() AND the crawl queries — one crawl serves
+    all)."""
+    return _reference_outputs(spark).documents
 
 
 # one reference-parity crawl per session, shared by every crawl-output
