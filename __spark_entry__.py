@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window stays stable; both locally oracle-tested every run
         "q_corpus_mix",
         "q_doc_pack",
+        "q_doc_filter_pipeline",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out["crawl_reference_parity"] = _crawl_reference_log

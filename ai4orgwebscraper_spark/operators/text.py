@@ -259,11 +259,75 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_doc_filter_pipeline thresholds (integer arithmetic — exact
+# cross-engine): min chars, and the stopword permille cap (~p90 of the
+# corpus distribution, so the bucket is non-trivial)
+MIN_CHARS = 150
+STOP_MAX_PERMILLE = 106
+
+
+def q_doc_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filter CASCADE a training pipeline runs before
+    anything ships: per doc, the FIRST failing gate is its drop reason
+    (too_short → high_stopword → exact_dup → lang_mismatch → keep),
+    profiled per reason. Composes the suite's own primitives — length
+    gate, stopword ratio (quality), md5 fingerprint keeper rank
+    (exact dedup), marker-rule language id — in one pass.
+
+    Scale shape: one scan; the only shuffle is the fingerprint window
+    (PARTITIONED by fingerprint — shard-local) plus the final tiny
+    agg. The per-doc reason column is the write path a real pipeline
+    materializes; the profile is the driver-checkable projection."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    staged = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).alias("n_stop"),
+        F.when(F.array_contains(toks, "the"), "en")
+        .when(F.array_contains(toks, "data"), "de")
+        .otherwise("xx")
+        .alias("pred"),
+        F.md5(F.array_join(toks, " ")).alias("fingerprint"),
+    )
+    fp_rank = F.row_number().over(
+        Window.partitionBy("fingerprint").orderBy("doc_id")
+    )
+    reason = (
+        F.when(F.col("n_chars") < MIN_CHARS, "too_short")
+        .when(
+            F.col("n_stop") * 1000 > F.col("n_tokens") * STOP_MAX_PERMILLE,
+            "high_stopword",
+        )
+        .when(F.col("fp_rank") > 1, "exact_dup")
+        .when(F.col("pred") != F.col("lang"), "lang_mismatch")
+        .otherwise("keep")
+    )
+    return (
+        staged.withColumn("fp_rank", fp_rank)
+        .select(reason.alias("reason"), "n_chars", "source")
+        .groupBy("reason")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("reason")
+    )
+
+
 QUERIES = {
     "q_word_topk": q_word_topk,
     "q_doc_split": q_doc_split,
     "q_corpus_mix": q_corpus_mix,
     "q_doc_pack": q_doc_pack,
+    "q_doc_filter_pipeline": q_doc_filter_pipeline,
     "q_doc_quality": q_doc_quality,
     "q_token_counts": q_token_counts,
     "q_lang_id": q_lang_id,
@@ -281,7 +345,35 @@ _MIX_THR_CASE = (
     "WHEN 2 THEN '800' ELSE 'c00' END)"
 )
 
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+
 ORACLES = {
+    "q_doc_filter_pipeline": f"""
+        WITH staged AS (
+            SELECT doc_id, source, lang, n_chars,
+                   len({_TOKS_SQL}) AS n_tokens,
+                   len(list_filter({_TOKS_SQL}, w -> w IN {_STOP_SQL})) AS n_stop,
+                   CASE WHEN list_contains({_TOKS_SQL}, 'the') THEN 'en'
+                        WHEN list_contains({_TOKS_SQL}, 'data') THEN 'de'
+                        ELSE 'xx' END AS pred,
+                   md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint
+            FROM documents
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                         ORDER BY doc_id) AS fp_rank
+            FROM staged
+        )
+        SELECT CASE WHEN n_chars < {MIN_CHARS} THEN 'too_short'
+                    WHEN n_stop * 1000 > n_tokens * {STOP_MAX_PERMILLE} THEN 'high_stopword'
+                    WHEN fp_rank > 1 THEN 'exact_dup'
+                    WHEN pred <> lang THEN 'lang_mismatch'
+                    ELSE 'keep' END AS reason,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               count(DISTINCT source) AS n_sources
+        FROM ranked GROUP BY 1 ORDER BY reason
+    """,
     "q_corpus_mix": f"""
         WITH w AS (
             SELECT source, doc_id, n_chars,
