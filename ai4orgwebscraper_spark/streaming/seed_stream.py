@@ -84,7 +84,9 @@ def stream_seed_ingestion(
     # empty increment) from genuine read failures (corrupt files,
     # permission errors), which must PROPAGATE (ADVICE r03: the old
     # bare except silently converted those into an empty increment)
-    if not any(f.startswith("part-") for f in os.listdir(out_dir)):
+    if not os.path.isdir(out_dir) or not any(
+        f.startswith("part-") for f in os.listdir(out_dir)
+    ):
         return spark.createDataFrame([], "url_hash string, url string, host string")
     return spark.read.parquet(out_dir)
 
@@ -163,7 +165,9 @@ def stream_seed_crawl(
     q = writer.start()
     q.processAllAvailable()
     q.stop()
-    if not any(f.startswith("part-") for f in os.listdir(out_dir)):
+    if not os.path.isdir(out_dir) or not any(
+        f.startswith("part-") for f in os.listdir(out_dir)
+    ):
         from ai4orgwebscraper_spark import schemas
 
         return spark.createDataFrame([], schemas.FETCH_LOG)
