@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_mix",
         "q_doc_pack",
         "q_doc_filter_pipeline",
+        "q_doc_sample",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out["crawl_reference_parity"] = _crawl_reference_log

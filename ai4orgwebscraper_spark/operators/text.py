@@ -322,12 +322,39 @@ def q_doc_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_PER_SOURCE = 5
+
+
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the N docs per source with the
+    smallest md5(source#doc_id) — a uniform per-stratum sample with no
+    RNG (the eval-set construction every pipeline needs, stable under
+    repartitioning and re-runs; same md5 discipline as q_doc_split).
+
+    Scale shape: the ranking window is PARTITIONED by source
+    (stratum-local); at 10^10 docs each stratum ranks independently —
+    no global sort, no single-partition window."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.md5(F.concat_ws("#", "source", F.col("doc_id").cast("string")))
+    rk = F.row_number().over(Window.partitionBy("source").orderBy(u, "doc_id"))
+    return (
+        docs.select("source", "doc_id", "lang", "n_chars", u.alias("u"))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= SAMPLE_PER_SOURCE)
+        .select("source", F.col("rk").cast("long").alias("rk"), "doc_id", "lang", "n_chars")
+        .orderBy("source", "rk")
+    )
+
+
 QUERIES = {
     "q_word_topk": q_word_topk,
     "q_doc_split": q_doc_split,
     "q_corpus_mix": q_corpus_mix,
     "q_doc_pack": q_doc_pack,
     "q_doc_filter_pipeline": q_doc_filter_pipeline,
+    "q_doc_sample": q_doc_sample,
     "q_doc_quality": q_doc_quality,
     "q_token_counts": q_token_counts,
     "q_lang_id": q_lang_id,
@@ -348,6 +375,19 @@ _MIX_THR_CASE = (
 _TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
 
 ORACLES = {
+    "q_doc_sample": f"""
+        SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, lang, n_chars
+        FROM (
+            SELECT source, doc_id, lang, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(source || '#' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        WHERE rk <= {SAMPLE_PER_SOURCE}
+        ORDER BY source, rk
+    """,
     "q_doc_filter_pipeline": f"""
         WITH staged AS (
             SELECT doc_id, source, lang, n_chars,
