@@ -70,6 +70,49 @@ def q_events_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_tumbling_counts(spark, sf_dir)
 
 
+def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming counts (2 h window, 1 h slide): every
+    event lands in TWO overlapping windows — the hopping-aggregation
+    shape tumbling windows can't express (rate trends, SLA windows).
+    Same plan skeleton as the tumbling variant: watermark → window
+    agg → complete-mode sink; the batch oracle explodes each event
+    into its two window starts."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "4 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+    name = "slide_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {name}")  # noqa: S608 — generated name
+    return out.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
 def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: dropDuplicates over a streaming source —
     the streaming twin of q_dedup_exact (stateful distinct; at scale
@@ -106,10 +149,23 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_events_window_stream": q_events_window_stream,
+    "q_events_sliding_stream": q_events_sliding_stream,
     "q_events_stream_dedup": q_events_stream_dedup,
 }
 
 ORACLES = {
+    "q_events_sliding_stream": """
+        WITH exploded AS (
+            SELECT date_trunc('hour', ts) - offs.k * INTERVAL '1 hour' AS win_start,
+                   event_type, value
+            FROM events, (VALUES (0), (1)) AS offs(k)
+        )
+        SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM exploded GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
     "q_events_window_stream": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type, count(*) AS n_events,
