@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_filter_pipeline",
         "q_doc_sample",
         "q_events_sliding_stream",
+        "q_knn_ivf_learned_multiprobe",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out["crawl_reference_parity"] = _crawl_reference_log

@@ -412,7 +412,10 @@ ORACLES = {
 # clustering.py (afinal = trained assignment), probe = the query
 # vector's own cluster — same shape as q_knn_ivf's oracle but with
 # TRAINED centroids instead of the first-K stand-ins.
-from ai4orgwebscraper_spark.operators.clustering import kmeans_oracle_cte  # noqa: E402
+from ai4orgwebscraper_spark.operators.clustering import (  # noqa: E402
+    ITERATIONS as _KM_ITERATIONS,
+    kmeans_oracle_cte,
+)
 
 ORACLES["q_knn_ivf_learned"] = f"""
     {kmeans_oracle_cte()},
@@ -422,5 +425,83 @@ ORACLES["q_knn_ivf_learned"] = f"""
            round({_cos_sql("a.embedding", "query_vec")}, 4) AS cosine
     FROM afinal a, q
     WHERE a.vec_id <> {QUERY_VEC_ID} AND a.cluster = query_cluster
+    ORDER BY cosine DESC, a.vec_id LIMIT {TOP_K}
+"""
+
+
+def q_knn_ivf_learned_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-centroid IVF with nprobe=2: rank the TRAINED k-means
+    centroids by distance to the query and probe the union of its two
+    nearest clusters — completes the ANN matrix (fixed/learned ×
+    single/multi-probe). Same shuffle-free plan as the other IVF
+    variants: the probe set is a 2-row broadcast, the corpus is
+    bucket-pruned before any cosine."""
+    from ai4orgwebscraper_spark.operators.clustering import (
+        _cents_df,
+        _d2,
+        kmeans,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, cents = kmeans(emb)
+    packed = _cents_df(spark, cents).agg(
+        F.collect_list(F.struct("cluster", "cent_vec")).alias("cents")
+    )
+    q_ranked = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .crossJoin(F.broadcast(packed))
+        .select(
+            F.col("embedding").alias("query_vec"),
+            F.array_sort(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        _d2(F.col("embedding"), c["cent_vec"]).alias("d2"),
+                        c["cluster"].alias("cluster"),
+                    ),
+                )
+            ).alias("rc"),
+        )
+    )
+    probes = q_ranked.select(
+        F.explode(F.slice("rc", 1, NPROBE)).alias("p")
+    ).select(F.col("p.cluster").alias("probe_cluster"))
+    query = q_ranked.select("query_vec")
+    return (
+        assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probes), F.col("cluster") == F.col("probe_cluster"))
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.round(_cosine(F.col("embedding"), F.col("query_vec")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+QUERIES["q_knn_ivf_learned_multiprobe"] = q_knn_ivf_learned_multiprobe
+
+_KM_D2Q = (
+    "list_sum(list_transform(list_zip(CAST(q.embedding AS DOUBLE[]), c.cent_vec), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+ORACLES["q_knn_ivf_learned_multiprobe"] = f"""
+    {kmeans_oracle_cte()},
+    probes AS (
+        SELECT cluster AS probe_cluster FROM (
+            SELECT c.cluster,
+                   row_number() OVER (ORDER BY {_KM_D2Q}, c.cluster) AS rk
+            FROM c{_KM_ITERATIONS} c, (SELECT embedding FROM embeddings
+                        WHERE vec_id = {QUERY_VEC_ID}) q
+        ) WHERE rk <= {NPROBE}
+    ),
+    qv AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+           round({_cos_sql("a.embedding", "query_vec")}, 4) AS cosine
+    FROM afinal a JOIN probes ON a.cluster = probe_cluster, qv
+    WHERE a.vec_id <> {QUERY_VEC_ID}
     ORDER BY cosine DESC, a.vec_id LIMIT {TOP_K}
 """

@@ -87,6 +87,7 @@ def test_all_oracle_query_plans_free_of_scale_antipatterns(spark):
         # kmeans assignment: 1-row broadcast of the packed centroid
         # array (clustering._assign) — intentional cross join
         "kmeans_embeddings", "q_knn_ivf_learned",
+        "q_knn_ivf_learned_multiprobe",
     }
     # streaming queries execute eagerly inside; crawl entries are not
     # single DataFrames
