@@ -280,22 +280,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries in insertion order. The two flagship rows-only
     # entries — the BASELINE.json contract (crawl parity + the
     # interleaved-spans payload) — go first, then every oracled query
-    # except the two most redundant (each subsumed by an in-window
-    # sibling: minhash_lsh by lsh_verified, ivf_multiprobe by ivf),
-    # then the deferred oracles and the remaining rows-only entries.
-    # COVERAGE.md documents the over-cap set; everything past the
-    # window stays locally oracle-/twin-tested in tests/.
+    # except the deferred set, then the deferred oracles and the
+    # remaining rows-only entries. COVERAGE.md documents the over-cap
+    # set; everything past the window stays locally oracle-/twin-
+    # tested in tests/.
+    #
+    # r5 rotation (VERDICT r04 #2): the 8 oracles that had never had a
+    # driver row (q_dedup_minhash_lsh, q_knn_ivf_multiprobe + the six
+    # r4 additions) move IN-window; 8 TPC-H-shape entries whose plans
+    # have been driver-green and unchanged since r1 rotate out. Every
+    # oracled query has now had at least one CORRECTNESS round row.
     deferred = [
-        "q_dedup_minhash_lsh",
-        "q_knn_ivf_multiprobe",
-        # r4 additions kept past the cap so the verified 48-oracle
-        # window stays stable; both locally oracle-tested every run
-        "q_corpus_mix",
-        "q_doc_pack",
-        "q_doc_filter_pipeline",
-        "q_doc_sample",
-        "q_events_sliding_stream",
-        "q_knn_ivf_learned_multiprobe",
+        "q_customer_lookup",
+        "q_orders_paged",
+        "q_region_rollup",
+        "q_order_priority",
+        "q_orders_histogram",
+        "q_segment_stats",
+        "q_events_by_type",
+        "q_pivot_value_by_type",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out["crawl_reference_parity"] = _crawl_reference_log

@@ -77,10 +77,19 @@ def frontier_telemetry(frontier: DataFrame, seen: DataFrame) -> dict:
     the host column (the §2.4 skew detector: one mergeable pass, no
     groupBy shuffle — probe any host's approximate frontier share
     without materializing the histogram)."""
+    # ONE aggregation pass over the frontier (ADVICE r04): the HLL
+    # distincts, the row count, and the count-min sketch are all
+    # mergeable partial aggregates, so they share a single scan.
+    # Sketch params: eps=0.1% of rows, 99.9% confidence; seed fixed
+    # for determinism. estimateCount over-counts only, never under.
     f = frontier.agg(
         F.approx_count_distinct("url_hash").alias("approx_urls"),
         F.approx_count_distinct("host").alias("approx_hosts"),
         F.count("*").alias("rows"),
+        F.expr(
+            "count_min_sketch(host, cast(0.001 as double),"
+            " cast(0.999 as double), 42)"
+        ).alias("host_sketch"),
     ).collect()[0]
     top_hosts = [
         (r["host"], r["n"])
@@ -90,22 +99,17 @@ def frontier_telemetry(frontier: DataFrame, seen: DataFrame) -> dict:
         .limit(10)
         .collect()
     ]
-    # eps=0.1% of rows, 99.9% confidence; seed fixed for determinism.
-    # The SQL count_min_sketch aggregate builds the sketch in ONE
-    # mergeable pass (partial sketches merge across partitions/rounds —
-    # no groupBy shuffle); the binary deserializes driver-side for
-    # point probes. estimateCount over-counts only, never under.
-    raw = frontier.agg(
-        F.expr(
-            "count_min_sketch(host, cast(0.001 as double),"
-            " cast(0.999 as double), 42)"
-        ).alias("s")
-    ).collect()[0]["s"]
-    jvm = frontier.sparkSession._jvm
-    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        jvm.java.io.ByteArrayInputStream(bytes(raw))
-    )
-    sketch_counts = {h: sketch.estimateCount(h) for h, _ in top_hosts}
+    # Driver-side point probes need the JVM bridge, which Spark
+    # Connect sessions don't expose (_jvm is None there) — skip the
+    # probe dict in that case; the serialized sketch itself is still
+    # computed and mergeable.
+    sketch_counts: dict = {}
+    jvm = getattr(frontier.sparkSession, "_jvm", None)
+    if jvm is not None:
+        sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(bytes(f["host_sketch"]))
+        )
+        sketch_counts = {h: sketch.estimateCount(h) for h, _ in top_hosts}
     s = seen.agg(F.approx_count_distinct("url_hash").alias("approx_seen")).collect()[0]
     return {
         "frontier_rows": f["rows"],
@@ -405,10 +409,17 @@ class CrawlEngine:
         """Join (url_hash, score) and fold it under depth. The join is
         keyed on url_hash — co-partitioned with the frontier's own
         layout at scale; AQE broadcasts when the score table is small.
-        Missing URLs score 0 (crawled last within their depth)."""
-        scored = planned.join(
-            self.rank_scores.select("url_hash", "score"), "url_hash", "left"
+        Missing URLs score 0 (crawled last within their depth).
+
+        rank_scores is deduplicated on url_hash (max score wins,
+        deterministic): a caller-supplied score table with duplicate
+        keys would otherwise MULTIPLY frontier rows through this left
+        join — duplicate fetches, diverging from the oracle whose
+        dict keys are inherently unique (ADVICE r04)."""
+        uniq = self.rank_scores.groupBy("url_hash").agg(
+            F.max("score").alias("score")
         )
+        scored = planned.join(uniq, "url_hash", "left")
         prio = F.col("depth").cast("long") * F.lit(
             self.PRIORITY_DEPTH_SCALE
         ) - F.floor(

@@ -128,9 +128,13 @@ def pagerank_py(
 
 # ---------------------------------------------------------------------------
 # Driver-oracled PageRank over the sf fixtures (VERDICT r03 next #4):
-# a deterministic synthetic link graph — nodes = suppliers, edges =
-# DISTINCT (l_suppkey -> l_partkey % |suppliers| + 1) from lineitem —
-# run through the SAME pagerank() iteration the crawl entry uses, and
+# a deterministic synthetic link graph — nodes = suppliers (keys 1..n),
+# edges = DISTINCT (l_suppkey -> floor((l_partkey % n)^2 / n)) from
+# lineitem, dst in [0, n-1]. dst=0 edges deliberately target a
+# non-node: their rank mass leaks (graph is sub-stochastic), modeling
+# a crawl graph's links to never-crawled URLs; engine and oracle drop
+# that mass identically (ADVICE r04). The graph is run through the
+# SAME pagerank() iteration the crawl entry uses, and
 # checked against the 10-step loop unrolled as chained CTE stages in
 # DuckDB. Ranks rounded to 8 decimals (fp summation-order differences
 # between engines are ~1e-14; rank magnitudes ~1e-2).
@@ -148,11 +152,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 7 == 0)
     )
     x = F.col("l_partkey") % F.lit(n_supp)
-    # quadratic density: dst = floor(x^2 / n) skews in-degree toward
-    # low ids, and the l_linenumber/l_orderkey filter sparsifies the
-    # graph (out-degrees 5-22), so ranks actually spread (a dense
-    # uniform dst would make the
-    # graph near-regular, every rank ~1/n — no iteration signal)
+    # quadratic density: dst = floor(x^2 / n) in [0, n-1] skews
+    # in-degree toward low ids, and the l_linenumber/l_orderkey filter
+    # sparsifies the graph (out-degrees 5-22), so ranks actually spread
+    # (a dense uniform dst would make the graph near-regular, every
+    # rank ~1/n — no iteration signal). dst=0 targets no supplier
+    # (keys start at 1): that edge's share of rank mass intentionally
+    # leaks, exactly as links to never-crawled URLs leak in a real
+    # crawl graph; the DuckDB oracle computes the same sub-stochastic
+    # iteration so parity holds.
     edges = sparse.select(
         F.col("l_suppkey").alias("src"),
         F.floor((x * x) / F.lit(n_supp)).cast("long").alias("dst"),

@@ -155,8 +155,50 @@ def main_default(sf_dir: str, cpus: int) -> None:
     bfs_fetched, bfs_dt = run_bfs_crawl(spark, BFS_BENCH_SEEDS)
     bfs_ups = round(bfs_fetched / bfs_dt, 1)
 
+    # ANN recall@k vs exact brute force (VERDICT r04 next #5): the
+    # exact-match oracles pin ONE query vector's values; this tracks
+    # the probe-count/centroid-quality tradeoff as a number so a
+    # recall regression is visible round-over-round.
+    truth = {r["vec_id"] for r in qs["q_knn_bruteforce"](spark, sf_dir).collect()}
+    ann_recall = {}
+    for v in (
+        "q_knn_lsh",
+        "q_knn_ivf",
+        "q_knn_ivf_multiprobe",
+        "q_knn_ivf_learned",
+        "q_knn_ivf_learned_multiprobe",
+    ):
+        got = {r["vec_id"] for r in qs[v](spark, sf_dir).collect()}
+        ann_recall[v] = round(len(got & truth) / max(len(truth), 1), 3)
+
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # Raw per-run data goes to a side file (VERDICT r04 next #1): the
+    # driver captures a bounded tail of stdout, and r4's one-line JSON
+    # outgrew it ("parsed": null). stdout gets ONLY the compact
+    # headline object, printed as the FINAL line.
+    raw_path = os.path.join("BENCH", "RUNS_latest.json")
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open(raw_path, "w") as f:
+            json.dump(
+                {
+                    "queries_runs": runs,
+                    "queries_best": best,
+                    "queries_median": medians,
+                    "bench_runs": BENCH_RUNS,
+                    "headline_protocol": "median-of-%d interleaved (r1-r2 single-run, r3 best-of-3)" % BENCH_RUNS,
+                    "crawl_runs_sec": crawl_runs,
+                    "bfs_seconds": round(bfs_dt, 3),
+                    "ann_recall_at_k": ann_recall,
+                    "sf": sf,
+                    "cpus": cpus,
+                },
+                f,
+                indent=1,
+            )
+    except OSError:
+        raw_path = None  # read-only checkout: headline line still prints
     print(
         json.dumps(
             {
@@ -164,19 +206,14 @@ def main_default(sf_dir: str, cpus: int) -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "queries_median": medians,
-                "queries_best": best,
-                "queries_runs": runs,
                 "bench_runs": BENCH_RUNS,
-                "headline_protocol": "median-of-%d interleaved (r1-r2 single-run, r3 best-of-3)" % BENCH_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "frontier_urls_per_sec": ups,
                 "frontier_urls": fetched,
-                "crawl_runs_sec": crawl_runs,
-                "bfs_seconds": round(bfs_dt, 3),
                 "bfs_urls_per_sec": bfs_ups,
-                "bfs_urls": bfs_fetched,
+                "ann_recall": ann_recall,
                 "cpus": cpus,
+                "runs_file": raw_path,
             }
         )
     )
