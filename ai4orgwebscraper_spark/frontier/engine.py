@@ -334,19 +334,37 @@ class CrawlEngine:
         return salted.mapInPandas(fetch_map_fn, schema=schemas.FETCH_RESULT)
 
     # ------------------------------------------------------------------
-    def run(self, seeds: DataFrame, seq_offset: int = 0) -> CrawlOutputs:
+    def run(
+        self, seeds: DataFrame, seq_offset: int = 0, carry: CrawlOutputs | None = None
+    ) -> CrawlOutputs:
         """``seq_offset`` continues the global sequence (and therefore
         the simulated politeness clock, a pure function of seq) from a
         previous round — the streaming-ingestion handoff runs one
         reference round per admitted micro-batch and passes the
         cumulative admitted count, so stream-fed rounds concatenate
         into EXACTLY the fetch_log of one batch run
-        (streaming/seed_stream.py)."""
+        (streaming/seed_stream.py).
+
+        ``carry`` continues a previous BFS crawl with NEW seeds (the
+        streaming-BFS handoff, streaming/bfs_stream.py): the previous
+        run's CrawlOutputs IS the state — seen set, per-url fetch
+        depths (fetch_log), cached outlinks, host clock and the seq
+        counter are all derived from it. Seeds already fetched are not
+        refetched; a seed that was previously reached as a DEEPER
+        outlink is PROMOTED — its cached outlinks are re-offered at
+        depth 1 without a refetch — so the cumulative fetched set
+        equals a single batch BFS over the concatenated seed lists
+        (VERDICT r04 next #4). Exact for ``max_depth <= 1``; deeper
+        incremental promotion needs in-loop shortest-path relaxation
+        (a promoted child's own depth can improve mid-crawl) and
+        raises until that exists."""
         if self.reference_mode:
+            if carry is not None:
+                raise ValueError("carry is a BFS-mode knob (reference mode is depth 0)")
             return self._run_reference(seeds, seq_offset)
         if seq_offset:
             raise ValueError("seq_offset is a reference-mode (single-round) knob")
-        return self._run_bfs(seeds)
+        return self._run_bfs(seeds, carry=carry)
 
     # --- reference-parity path ----------------------------------------
     def _run_reference(self, seeds: DataFrame, seq_offset: int = 0) -> CrawlOutputs:
@@ -442,8 +460,100 @@ class CrawlEngine:
         gap = F.greatest(F.lit(1000.0) / rate, F.coalesce(F.col("crawl_delay_s"), F.lit(0.0)) * 1000.0)
         return joined.withColumn("__budget", budget).withColumn("__gap_ms", gap)
 
-    def _run_bfs(self, seeds: DataFrame) -> CrawlOutputs:
+    def _promoted_offers(
+        self, canon: DataFrame, carry: CrawlOutputs, start_round: int
+    ) -> DataFrame | None:
+        """Depth-1 offers from the cached outlinks of new seeds that the
+        carried run fetched at depth >= 1 (see run(): the promotion that
+        makes carry-continuation equal a batch BFS over the concatenated
+        seed lists). Same resolve/validate/robots pipeline as the
+        in-loop offer stage; the promoted parent itself is NOT
+        refetched. Cached outlinks lost their in-page position
+        (outlinks_cum explodes without posexplode), so intra-parent
+        order falls back to the resolved URL — deterministic, and order
+        only affects intra-depth scheduling, never set membership.
+        seed_rank = parent_seq * 1000 + rank keeps promoted children
+        ahead of (and disjoint from) this run's own offers, whose ranks
+        start at seq_counter * 1000."""
+        if carry.outlinks is None:
+            return None
+        prev = carry.fetch_log.groupBy("url_hash").agg(
+            F.min("depth").alias("__prev_depth"),
+            F.min("seq").alias("__parent_seq"),
+        )
+        promoted = (
+            canon.select("url_hash").distinct()
+            .join(prev, "url_hash")
+            .filter(F.col("__prev_depth") >= 1)
+            .select("url_hash", "__parent_seq")
+        )
+        links = promoted.join(carry.outlinks, "url_hash").select(
+            "__parent_seq", "host", "href"
+        )
+        resolved = links.select(
+            "__parent_seq",
+            U.canonicalize_col(
+                U.resolve_outlink_col(F.col("host"), F.col("href"))
+            ).alias("url"),
+        ).filter(F.col("url").isNotNull())
+        w = Window.partitionBy("__parent_seq").orderBy("url")
+        offers = (
+            resolved.withColumn("__pos", F.row_number().over(w) - 1)
+            .select(
+                U.url_hash_col(F.col("url")).alias("url_hash"),
+                "url",
+                U.host_col(F.col("url")).alias("child_host"),
+                U.path_col(F.col("url")).alias("__path"),
+                F.lit(1).alias("depth"),
+                (F.col("__parent_seq") * 1000 + F.col("__pos")).alias("seed_rank"),
+            )
+            .filter(F.col("child_host").isNotNull() & (F.col("child_host") != ""))
+        )
+        offers = (
+            offers.join(
+                F.broadcast(self.hosts_df.select("host", "robots_disallow")),
+                offers.child_host == F.col("host"),
+                "left",
+            )
+            .filter(
+                ~F.coalesce(
+                    F.exists(
+                        "robots_disallow", lambda p: F.col("__path").startswith(p)
+                    ),
+                    F.lit(False),
+                )
+            )
+            .select(
+                "url_hash", "url", F.col("child_host").alias("host"),
+                "depth", "seed_rank",
+            )
+        )
+        return (
+            offers.groupBy("url_hash", "url", "host")
+            .agg(
+                F.count("*").alias("multiplicity"),
+                F.min("depth").alias("depth"),
+                F.min("seed_rank").alias("seed_rank"),
+            )
+            .withColumn("first_seen_round", F.lit(start_round))
+        )
+
+    def _run_bfs(
+        self, seeds: DataFrame, carry: CrawlOutputs | None = None
+    ) -> CrawlOutputs:
         spark = self.spark
+        if carry is not None:
+            if self.checkpoint_dir:
+                raise ValueError(
+                    "carry and checkpoint_dir are alternative resume channels;"
+                    " pass exactly one (carry IS the state)"
+                )
+            if self.max_depth > 1:
+                raise NotImplementedError(
+                    "carry promotion is exact only for max_depth <= 1: a"
+                    " promoted URL's grandchildren would need in-loop"
+                    " shortest-path relaxation (see run() docstring)"
+                )
         start_round, seq_counter = 0, 0
         fetch_log_cum = spark.createDataFrame([], schemas.FETCH_LOG)
         documents_cum = spark.createDataFrame([], schemas.DOCUMENTS)
@@ -469,12 +579,28 @@ class CrawlEngine:
             seen_parts = [seen_loaded]
         else:
             canon = self._canonical_seeds(seeds)
+            if carry is not None:
+                # the previous run's outputs ARE the resume state: the
+                # new run's rounds/clock/seq continue after them, and
+                # its cumulative tables start from them.
+                start_round = int(carry.metrics.get("rounds", 0))
+                seq_counter = int(
+                    carry.metrics.get("fetched", carry.fetch_log.count())
+                )
+                fetch_log_cum = carry.fetch_log.select(*FETCH_LOG_COLS)
+                documents_cum = carry.documents.select("doc_id", "spans")
+                if carry.outlinks is not None:
+                    outlinks_cum = carry.outlinks.select("url_hash", "host", "href")
             # dedup seeds: first occurrence (min seed_rank) wins; every
             # occurrence counts toward multiplicity (oracle semantics)
             seed_delta = (
                 canon.groupBy("url_hash", "url")
                 .agg(F.count("*").alias("multiplicity"))
-                .select("url_hash", "url", F.lit(0).alias("first_seen_round"), "multiplicity")
+                .select(
+                    "url_hash", "url",
+                    F.lit(start_round).alias("first_seen_round"),
+                    "multiplicity",
+                )
             )
             seen_parts = [self._spill(seed_delta, "seen_delta", -1)]
             frontier = (
@@ -485,6 +611,43 @@ class CrawlEngine:
                     F.lit(0).alias("attempts"),
                 )
             )
+            if carry is not None:
+                prev_seen = self._spill(
+                    carry.seen.select(
+                        "url_hash", "url", "first_seen_round", "multiplicity"
+                    ),
+                    "seen_carry", start_round - 1,
+                )
+                # already-seen seeds are never refetched (batch-BFS
+                # equivalence: one fetch per URL); brand-new seeds enter
+                # the frontier at depth 0
+                frontier = frontier.join(
+                    prev_seen.select("url_hash"), "url_hash", "left_anti"
+                )
+                # PROMOTION: a seed previously reached as a DEEPER
+                # outlink re-offers its CACHED outlinks at depth 1 — in
+                # a batch run over the concatenated seed lists it would
+                # be a depth-0 parent, so its children belong in the
+                # fetched set even though in the carried run they sat
+                # past max_depth and were never offered.
+                promo = self._promoted_offers(canon, carry, start_round)
+                if promo is not None:
+                    promo = self._spill(promo, "promo_offers", start_round - 1)
+                    promo_new = promo.join(
+                        prev_seen.select("url_hash"), "url_hash", "left_anti"
+                    ).join(seed_delta.select("url_hash"), "url_hash", "left_anti")
+                    frontier = frontier.unionByName(
+                        promo_new.select(
+                            "url_hash", "url", "host", "depth", "seed_rank",
+                            F.lit(0).alias("attempts"),
+                        )
+                    )
+                    seen_parts.append(
+                        promo.select(
+                            "url_hash", "url", "first_seen_round", "multiplicity"
+                        )
+                    )
+                seen_parts.insert(0, prev_seen)
 
         # cross-round politeness clock (VERDICT r01 item 8): per-host
         # last fetched_at_ms, carried across rounds so an inter-round
@@ -546,7 +709,13 @@ class CrawlEngine:
                 print(f"    [round timing] {label}: {now - t0_box[0]:.2f}s", flush=True)
                 t0_box[0] = now
 
-        for rnd in range(start_round, self.max_rounds):
+        # checkpoint resume shares max_rounds with the original run (a
+        # global stop condition); carry-continuation gets its own budget
+        # — each admitted seed wave is a fresh crawl over new work
+        end_round = (
+            start_round + self.max_rounds if carry is not None else self.max_rounds
+        )
+        for rnd in range(start_round, end_round):
             _t = [time.time()]
             # SLIM iterative state (frontier/seen) is localCheckpointed
             # every round: it truncates lineage, which plain persist does

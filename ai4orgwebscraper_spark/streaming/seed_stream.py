@@ -30,6 +30,24 @@ from pyspark.sql import functions as F
 from ai4orgwebscraper_spark.functions import urls as U
 
 
+def _batch_dirs(out_dir: str, exclude: str | None = None) -> list[str]:
+    """Durable per-trigger output dirs (``batch-<id>``) under
+    ``out_dir``, oldest first, skipping dirs with no committed part
+    files. ``exclude`` drops the CURRENT batch's own dir so a
+    foreachBatch retry never counts its previous (possibly partial)
+    attempt as prior state."""
+    if not os.path.isdir(out_dir):
+        return []
+    out = []
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("batch-") or d == exclude:
+            continue
+        full = os.path.join(out_dir, d)
+        if os.path.isdir(full) and any(f.startswith("part-") for f in os.listdir(full)):
+            out.append(full)
+    return out
+
+
 def stream_seed_ingestion(
     spark: SparkSession,
     seed_dir: str,
@@ -71,8 +89,14 @@ def stream_seed_ingestion(
         out_dir = tempfile.mkdtemp(prefix=f"seed_admit_{uuid.uuid4().hex[:8]}_")
 
     def _hand_to_frontier(batch_df: DataFrame, batch_id: int) -> None:
-        # production: CrawlEngine round / Iceberg append per trigger
-        batch_df.write.mode("append").parquet(out_dir)
+        # production: CrawlEngine round / Iceberg append per trigger.
+        # One OVERWRITTEN dir per batch_id makes the sink idempotent
+        # under foreachBatch's at-least-once retries (ADVICE r04): a
+        # replayed batch replaces its own partial output instead of
+        # double-appending.
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch-{batch_id:08d}")
+        )
 
     writer = canon.writeStream.foreachBatch(_hand_to_frontier).outputMode("append")
     if checkpoint_dir:
@@ -80,15 +104,14 @@ def stream_seed_ingestion(
     q = writer.start()
     q.processAllAvailable()
     q.stop()
-    # distinguish "no micro-batch produced rows" (no part files — an
-    # empty increment) from genuine read failures (corrupt files,
-    # permission errors), which must PROPAGATE (ADVICE r03: the old
-    # bare except silently converted those into an empty increment)
-    if not os.path.isdir(out_dir) or not any(
-        f.startswith("part-") for f in os.listdir(out_dir)
-    ):
+    # distinguish "no micro-batch produced rows" (no committed batch
+    # dirs — an empty increment) from genuine read failures (corrupt
+    # files, permission errors), which must PROPAGATE (ADVICE r03: the
+    # old bare except silently converted those into an empty increment)
+    dirs = _batch_dirs(out_dir)
+    if not dirs:
         return spark.createDataFrame([], "url_hash string, url string, host string")
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(*dirs)
 
 
 def stream_seed_crawl(
@@ -120,6 +143,16 @@ def stream_seed_crawl(
     DataFrame to the frontier table instead (the BFS path's seed
     delta), same plan shape.
 
+    Durability (ADVICE r04): the global seq offset is DERIVED from the
+    cumulative output (max(seq)+1 over the latest committed batch dir),
+    never from in-process memory, so a checkpointed RESTART that skips
+    already-processed files continues the sequence instead of resetting
+    it; and each trigger overwrites its own ``batch-<id>`` dir, so an
+    at-least-once foreachBatch retry replaces rather than
+    double-appends. Reuse ``out_dir`` only together with its
+    ``checkpoint_dir`` — a fresh checkpoint restarts batch ids at 0 and
+    would collide with a previous run's dirs.
+
     Returns the cumulative fetch_log of all rounds as a batch
     DataFrame.
     """
@@ -147,17 +180,24 @@ def stream_seed_crawl(
         .filter(F.col("host").isNotNull() & (F.col("host") != ""))
         .dropDuplicates(["url_hash"])
     )
-    state = {"n_admitted": 0}
-
     def _crawl_round(batch_df: DataFrame, batch_id: int) -> None:
         urls = sorted(r["url"] for r in batch_df.select("url").collect())
         if not urls:
             return
-        out = engine.run(
-            engine.seeds_from_list(urls), seq_offset=state["n_admitted"]
-        )
-        out.fetch_log.write.mode("append").parquet(out_dir)
-        state["n_admitted"] += len(urls)
+        tag = f"batch-{batch_id:08d}"
+        # durable seq offset: max(seq)+1 over the LATEST committed
+        # prior batch (seq is dense, so the latest dir's max is the
+        # cumulative count — one tiny column scan, never the full log).
+        # The current batch's own dir is excluded so a retry recomputes
+        # the same offset it used the first time.
+        prior = _batch_dirs(out_dir, exclude=tag)
+        offset = 0
+        if prior:
+            offset = int(
+                spark.read.parquet(prior[-1]).agg(F.max("seq")).first()[0]
+            ) + 1
+        out = engine.run(engine.seeds_from_list(urls), seq_offset=offset)
+        out.fetch_log.write.mode("overwrite").parquet(os.path.join(out_dir, tag))
 
     writer = canon.writeStream.foreachBatch(_crawl_round).outputMode("append")
     if checkpoint_dir:
@@ -165,10 +205,9 @@ def stream_seed_crawl(
     q = writer.start()
     q.processAllAvailable()
     q.stop()
-    if not os.path.isdir(out_dir) or not any(
-        f.startswith("part-") for f in os.listdir(out_dir)
-    ):
+    dirs = _batch_dirs(out_dir)
+    if not dirs:
         from ai4orgwebscraper_spark import schemas
 
         return spark.createDataFrame([], schemas.FETCH_LOG)
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(*dirs)

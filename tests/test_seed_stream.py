@@ -86,8 +86,10 @@ def test_corrupt_output_raises_instead_of_empty(spark, tmp_path):
     seed_dir = tmp_path / "seeds_corrupt"
     os.makedirs(seed_dir)  # no seed files: stream admits nothing
     out_dir = tmp_path / "out_corrupt"
-    os.makedirs(out_dir)
-    (out_dir / "part-00000-garbage.parquet").write_bytes(b"not a parquet file")
+    os.makedirs(out_dir / "batch-00000000")
+    (out_dir / "batch-00000000" / "part-00000-garbage.parquet").write_bytes(
+        b"not a parquet file"
+    )
     with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
         stream_seed_ingestion(spark, str(seed_dir), out_dir=str(out_dir)).collect()
 
@@ -154,3 +156,88 @@ def test_stream_fed_crawl_equals_batch_crawl(spark, tmp_path):
     want_rows = sorted((r.asDict() for r in want), key=lambda d: d["seq"])
     assert len(got_rows) == len(ordered) == len(want_rows)
     assert got_rows == want_rows  # seq, clock, status, title — everything
+
+
+def test_stream_crawl_restart_continues_durable_seq(spark, tmp_path):
+    """ADVICE r04: the seq offset must come from DURABLE state. A
+    checkpointed restart with the same out_dir (the documented resume
+    pattern) skips already-processed files and CONTINUES the global
+    sequence; the cumulative fetch_log equals the batch engine's on the
+    full admission order, with no colliding or duplicate seq values."""
+    import time
+
+    from ai4orgwebscraper_spark.frontier.engine import CrawlEngine
+    from ai4orgwebscraper_spark.streaming.seed_stream import stream_seed_crawl
+
+    seeds = seed_urls(30)
+    seed_dir = tmp_path / "seeds_restart"
+    os.makedirs(seed_dir)
+    ckpt, out_dir = str(tmp_path / "ck_restart"), str(tmp_path / "out_restart")
+    now = time.time()
+    p0 = seed_dir / "f0.txt"
+    p0.write_text("\n".join(seeds[:18]))
+    os.utime(p0, (now - 60,) * 2)
+
+    first = stream_seed_crawl(spark, str(seed_dir), checkpoint_dir=ckpt, out_dir=out_dir)
+    n_first = first.count()
+    assert n_first > 0
+
+    # second wave lands AFTER the first drain; restart through the same
+    # checkpoint + out_dir (in-memory state is gone — a new invocation)
+    p1 = seed_dir / "f1.txt"
+    p1.write_text("\n".join(seeds[12:30]))  # overlaps the first file
+    os.utime(p1, (now - 30,) * 2)
+    got = stream_seed_crawl(
+        spark, str(seed_dir), checkpoint_dir=ckpt, out_dir=out_dir
+    ).collect()
+
+    # expected admission order (same contract as the single-run test)
+    seen: set[str] = set()
+    ordered: list[str] = []
+    for batch in [seeds[:18], seeds[12:30]]:
+        new: dict[str, str] = {}
+        for raw in batch:
+            c = canonicalize_py(raw)
+            if c is None or not host_py(c):
+                continue
+            h = url_hash_py(c)
+            if h not in seen and h not in new:
+                new[h] = c
+        ordered += sorted(new.values())
+        seen |= set(new)
+    eng = CrawlEngine(spark, reference_mode=True)
+    want = eng.run(eng.seeds_from_list(ordered)).fetch_log.collect()
+
+    got_rows = sorted((r.asDict() for r in got), key=lambda d: d["seq"])
+    want_rows = sorted((r.asDict() for r in want), key=lambda d: d["seq"])
+    seqs = [d["seq"] for d in got_rows]
+    assert seqs == list(range(len(ordered)))  # dense, no collisions
+    assert got_rows == want_rows
+
+
+def test_stream_crawl_batch_retry_is_idempotent(spark, tmp_path):
+    """ADVICE r04: an at-least-once foreachBatch REPLAY of a trigger
+    (same batch_id, partial prior output on disk) overwrites its own
+    batch dir instead of double-appending, and recomputes the same
+    offset. Simulated by pre-seeding out_dir with a stale partial copy
+    of what will become batch 0."""
+    import time
+
+    from ai4orgwebscraper_spark.streaming.seed_stream import stream_seed_crawl
+
+    seeds = seed_urls(12)
+    seed_dir = tmp_path / "seeds_retry"
+    os.makedirs(seed_dir)
+    out_dir = str(tmp_path / "out_retry")
+    now = time.time()
+    p0 = seed_dir / "f0.txt"
+    p0.write_text("\n".join(seeds))
+    os.utime(p0, (now - 60,) * 2)
+
+    # first attempt: writes batch-00000000 (no checkpoint commit kept)
+    stream_seed_crawl(spark, str(seed_dir), out_dir=out_dir)
+    once = spark.read.parquet(os.path.join(out_dir, "batch-00000000")).collect()
+    # replay the same trigger (fresh query, same batch_id 0, same file)
+    got = stream_seed_crawl(spark, str(seed_dir), out_dir=out_dir).collect()
+    assert sorted(r["seq"] for r in got) == sorted(r["seq"] for r in once)
+    assert sorted(map(str, got)) == sorted(map(str, once))
