@@ -148,3 +148,45 @@ def test_stream_bfs_replay_is_idempotent(spark, tmp_path):
         hosts=default_hosts(), max_depth=1, max_rounds=30,
     ).collect()
     assert sorted(map(str, again)) == sorted(map(str, once))
+
+
+def test_stream_bfs_with_rank_scores(spark, tmp_path):
+    """The production shape from the module docstring: rank-weighted
+    frontier priority flows through engine_factory into every
+    stream-fed continuation. Scores permute intra-depth scheduling
+    only, so the cumulative fetched set still equals the unranked
+    batch BFS on the same seed files."""
+    seeds1, extra = _waves()
+    seeds2 = [_promo_url(spark, seeds1)] + extra
+    seed_dir = tmp_path / "seeds_ranked"
+    os.makedirs(seed_dir)
+    ckpt, out_dir = str(tmp_path / "ck_ranked"), str(tmp_path / "out_ranked")
+    now = time.time()
+    for i, wave in enumerate([seeds1, seeds2]):
+        p = seed_dir / f"wave{i}.txt"
+        p.write_text("\n".join(wave))
+        os.utime(p, (now - 60 + 30 * i,) * 2)
+
+    # deterministic stand-in score table over REAL crawl url_hashes
+    # (production: PageRank of the previous continuation's link graph)
+    probe = CrawlEngine(spark, hosts=default_hosts(), max_depth=1, max_rounds=30)
+    hashes = [
+        r["url_hash"]
+        for r in probe.run(probe.seeds_from_list(seeds1)).fetch_log.collect()
+    ]
+    scores = spark.createDataFrame(
+        [(h, float(int(h[:4], 16) % 7)) for h in sorted(set(hashes))],
+        "url_hash string, score double",
+    )
+
+    def engine_factory():
+        return CrawlEngine(
+            spark, hosts=default_hosts(), max_depth=1, max_rounds=30,
+            rank_scores=scores, rank_scores_tag="stream_v1",
+        )
+
+    got = stream_seed_bfs(
+        spark, str(seed_dir), checkpoint_dir=ckpt, out_dir=out_dir,
+        engine_factory=engine_factory,
+    ).collect()
+    _assert_equals_batch(spark, got, seeds1, seeds2)
