@@ -291,6 +291,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # have been driver-green and unchanged since r1 rotate out. Every
     # oracled query has now had at least one CORRECTNESS round row.
     deferred = [
+        # new in r5 (multiprobe ring for the floored single-bucket LSH
+        # recall): oracle-green locally + recall-tracked in bench;
+        # deferred so it doesn't evict one of the r5 rotation's six
+        # first-driver-row entries — rotates in next round
+        "q_knn_lsh_multiprobe",
         "q_customer_lookup",
         "q_orders_paged",
         "q_region_rollup",

@@ -42,14 +42,21 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def compare_one(spark, conn, name: str, fn, sql: str, sf_dir: str) -> dict:
+    import time
+
+    t0 = time.time()
     sdf = fn(spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
+    t1 = time.time()
     rel = conn.sql(sql)
     duck_cols = rel.columns
     duck_rows = rel.fetchall()
+    t2 = time.time()
     res = {
         "name": name,
+        "spark_s": round(t1 - t0, 2),
+        "duck_s": round(t2 - t1, 2),
         "rows_spark": len(spark_rows),
         "rows_duck": len(duck_rows),
         "cols_match": sorted(spark_cols) == sorted(duck_cols),
@@ -93,7 +100,11 @@ if __name__ == "__main__":
     bad = 0
     for r in run_all(spark, sf_dir, only):
         flag = "OK " if r["ok"] else "FAIL"
-        print(f"{flag} {r['name']:28s} spark={r['rows_spark']} duck={r['rows_duck']}", flush=True)
+        print(
+            f"{flag} {r['name']:28s} spark={r['rows_spark']} duck={r['rows_duck']}"
+            f" spark_s={r['spark_s']} duck_s={r['duck_s']}",
+            flush=True,
+        )
         if not r["ok"]:
             bad += 1
             print("     detail:", {k: v for k, v in r.items() if k not in ("name", "ok")})

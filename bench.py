@@ -163,6 +163,7 @@ def main_default(sf_dir: str, cpus: int) -> None:
     ann_recall = {}
     for v in (
         "q_knn_lsh",
+        "q_knn_lsh_multiprobe",
         "q_knn_ivf",
         "q_knn_ivf_multiprobe",
         "q_knn_ivf_learned",

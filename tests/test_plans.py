@@ -82,7 +82,7 @@ def test_all_oracle_query_plans_free_of_scale_antipatterns(spark):
     # 1-row broadcast of the query vector is an intentional
     # BroadcastNestedLoopJoin (a cross join with one row)
     NESTED_OK = {
-        "q_knn_bruteforce", "q_knn_lsh", "q_knn_ivf",
+        "q_knn_bruteforce", "q_knn_lsh", "q_knn_lsh_multiprobe", "q_knn_ivf",
         "q_knn_ivf_multiprobe", "q_embedding_neardup",
         # kmeans assignment: 1-row broadcast of the packed centroid
         # array (clustering._assign) — intentional cross join
