@@ -350,14 +350,26 @@ class CrawlEngine:
         run's CrawlOutputs IS the state — seen set, per-url fetch
         depths (fetch_log), cached outlinks, host clock and the seq
         counter are all derived from it. Seeds already fetched are not
-        refetched; a seed that was previously reached as a DEEPER
-        outlink is PROMOTED — its cached outlinks are re-offered at
-        depth 1 without a refetch — so the cumulative fetched set
-        equals a single batch BFS over the concatenated seed lists
-        (VERDICT r04 next #4). Exact for ``max_depth <= 1``; deeper
-        incremental promotion needs in-loop shortest-path relaxation
-        (a promoted child's own depth can improve mid-crawl) and
-        raises until that exists."""
+        refetched; instead, depth improvements RELAX through the
+        carried link cache: a seed (or any node later re-offered by a
+        newly fetched page) that the carried run reached DEEPER gets
+        its cached outlinks re-offered at the improved depth + 1,
+        cascading through previously fetched nodes up to ``max_depth``
+        (``_carry_relax``) — the subtree the old run cut at its depth
+        horizon is explored without refetching its interior. The
+        cumulative fetched set then equals a single batch BFS over the
+        concatenated seed lists (VERDICT r04 next #4), with two
+        documented deviations: (1) a relaxed node's fetch_log row
+        keeps its ORIGINAL (deeper) fetch depth — the batch run
+        records the shallower first-offer depth; (2) like the batch
+        engine itself, first-offer-wins: when per-host budget deferral
+        reorders depth fronts, batch and incremental first-offer
+        depths can differ at the horizon — under ample budgets
+        (no cross-round deferral) the sets are equal, which the
+        depth-1 and depth-2 equivalence tests pin
+        (tests/test_bfs_stream.py). The carried run must have DRAINED
+        its frontier (the stream twin's continuations always do):
+        seen == fetched + seeds is assumed by the relaxation."""
         if self.reference_mode:
             if carry is not None:
                 raise ValueError("carry is a BFS-mode knob (reference mode is depth 0)")
@@ -460,43 +472,32 @@ class CrawlEngine:
         gap = F.greatest(F.lit(1000.0) / rate, F.coalesce(F.col("crawl_delay_s"), F.lit(0.0)) * 1000.0)
         return joined.withColumn("__budget", budget).withColumn("__gap_ms", gap)
 
-    def _promoted_offers(
-        self, canon: DataFrame, carry: CrawlOutputs, start_round: int
-    ) -> DataFrame | None:
-        """Depth-1 offers from the cached outlinks of new seeds that the
-        carried run fetched at depth >= 1 (see run(): the promotion that
-        makes carry-continuation equal a batch BFS over the concatenated
-        seed lists). Same resolve/validate/robots pipeline as the
-        in-loop offer stage; the promoted parent itself is NOT
-        refetched. Cached outlinks lost their in-page position
-        (outlinks_cum explodes without posexplode), so intra-parent
-        order falls back to the resolved URL — deterministic, and order
-        only affects intra-depth scheduling, never set membership.
-        seed_rank = parent_seq * 1000 + rank keeps promoted children
-        ahead of (and disjoint from) this run's own offers, whose ranks
-        start at seq_counter * 1000."""
-        if carry.outlinks is None:
-            return None
-        prev = carry.fetch_log.groupBy("url_hash").agg(
-            F.min("depth").alias("__prev_depth"),
-            F.min("seq").alias("__parent_seq"),
-        )
-        promoted = (
-            canon.select("url_hash").distinct()
-            .join(prev, "url_hash")
-            .filter(F.col("__prev_depth") >= 1)
-            .select("url_hash", "__parent_seq")
-        )
-        links = promoted.join(carry.outlinks, "url_hash").select(
-            "__parent_seq", "host", "href"
+    def _cached_offers(
+        self, parents: DataFrame, carry_links: DataFrame
+    ) -> DataFrame:
+        """Offers replayed from the carried run's CACHED outlinks —
+        the same resolve/validate/robots pipeline as the in-loop offer
+        stage, with the parent never refetched. ``parents`` is
+        (url_hash, depth, node_seq): carry-fetched nodes whose
+        effective depth just improved to ``depth`` (< max_depth).
+        Cached outlinks lost their in-page position (outlinks_cum
+        explodes without posexplode), so intra-parent order falls back
+        to the resolved URL — deterministic, and order only affects
+        intra-depth scheduling, never set membership. seed_rank =
+        node_seq * 1000 + rank: carry seqs are < this run's seq
+        offset, so replayed offers sort ahead of (and disjoint from)
+        the run's own offers within a depth."""
+        links = parents.join(carry_links, "url_hash").select(
+            "node_seq", (F.col("depth") + 1).alias("depth"), "host", "href"
         )
         resolved = links.select(
-            "__parent_seq",
+            "node_seq",
+            "depth",
             U.canonicalize_col(
                 U.resolve_outlink_col(F.col("host"), F.col("href"))
             ).alias("url"),
         ).filter(F.col("url").isNotNull())
-        w = Window.partitionBy("__parent_seq").orderBy("url")
+        w = Window.partitionBy("node_seq").orderBy("url")
         offers = (
             resolved.withColumn("__pos", F.row_number().over(w) - 1)
             .select(
@@ -504,8 +505,8 @@ class CrawlEngine:
                 "url",
                 U.host_col(F.col("url")).alias("child_host"),
                 U.path_col(F.col("url")).alias("__path"),
-                F.lit(1).alias("depth"),
-                (F.col("__parent_seq") * 1000 + F.col("__pos")).alias("seed_rank"),
+                "depth",
+                (F.col("node_seq") * 1000 + F.col("__pos")).alias("seed_rank"),
             )
             .filter(F.col("child_host").isNotNull() & (F.col("child_host") != ""))
         )
@@ -528,32 +529,96 @@ class CrawlEngine:
                 "depth", "seed_rank",
             )
         )
-        return (
-            offers.groupBy("url_hash", "url", "host")
-            .agg(
-                F.count("*").alias("multiplicity"),
-                F.min("depth").alias("depth"),
-                F.min("seed_rank").alias("seed_rank"),
-            )
-            .withColumn("first_seen_round", F.lit(start_round))
+        return offers.groupBy("url_hash", "url", "host").agg(
+            F.count("*").alias("multiplicity"),
+            F.min("depth").alias("depth"),
+            F.min("seed_rank").alias("seed_rank"),
         )
+
+    def _carry_relax(
+        self,
+        improvements: DataFrame,
+        carry_links: DataFrame,
+        carry_best: DataFrame,
+        excluded_keys: DataFrame,
+        first_seen_round: int,
+    ):
+        """Shortest-depth relaxation through the carried link cache
+        (see run()): starting from carry-fetched nodes whose effective
+        depth just improved, re-offer cached outlinks at improved
+        depth + 1, cascading while improvements keep landing on
+        carry-fetched nodes, at most ``max_depth`` steps. Unseen
+        children become frontier entries (real fetches at their
+        relaxed depth); every replayed offer counts toward seen
+        multiplicity, as it would in the equivalent batch run.
+
+        Scale shape: every join is keyed on url_hash (co-partitioned
+        with the carry tables' own layout); the improvement set shrinks
+        monotonically per step and is bounded by the carried fetch
+        count, never the corpus; per-step state is parquet-spilled so
+        lineage stays flat. Returns
+        (frontier_parts, seen_delta_parts, carry_best)."""
+        frontier_parts: list[DataFrame] = []
+        deltas: list[DataFrame] = []
+        cur = improvements
+        for step in range(self.max_depth):
+            # apply the improvements to the best-known depth table
+            carry_best = self._spill(
+                carry_best.unionByName(
+                    cur.select(
+                        "url_hash",
+                        F.col("depth").alias("best_depth"),
+                        "node_seq",
+                    )
+                )
+                .groupBy("url_hash")
+                .agg(
+                    F.min("best_depth").alias("best_depth"),
+                    F.min("node_seq").alias("node_seq"),
+                ),
+                f"carry_best_s{step}", first_seen_round,
+            )
+            parents = cur.filter(F.col("depth") < F.lit(self.max_depth))
+            offers = self._spill(
+                self._cached_offers(parents, carry_links),
+                f"relax_offers_s{step}", first_seen_round,
+            )
+            if offers.isEmpty():
+                break
+            unseen = offers.join(excluded_keys, "url_hash", "left_anti")
+            frontier_parts.append(
+                unseen.select(
+                    "url_hash", "url", "host", "depth", "seed_rank",
+                    F.lit(0).alias("attempts"),
+                )
+            )
+            deltas.append(
+                offers.select(
+                    "url_hash", "url",
+                    F.lit(first_seen_round).alias("first_seen_round"),
+                    "multiplicity",
+                )
+            )
+            excluded_keys = excluded_keys.unionByName(offers.select("url_hash"))
+            cur = self._spill(
+                offers.join(carry_best, "url_hash")
+                .filter(F.col("depth") < F.col("best_depth"))
+                .select("url_hash", "depth", "node_seq"),
+                f"relax_improved_s{step}", first_seen_round,
+            )
+            if cur.isEmpty():
+                break
+        return frontier_parts, deltas, carry_best
 
     def _run_bfs(
         self, seeds: DataFrame, carry: CrawlOutputs | None = None
     ) -> CrawlOutputs:
         spark = self.spark
-        if carry is not None:
-            if self.checkpoint_dir:
-                raise ValueError(
-                    "carry and checkpoint_dir are alternative resume channels;"
-                    " pass exactly one (carry IS the state)"
-                )
-            if self.max_depth > 1:
-                raise NotImplementedError(
-                    "carry promotion is exact only for max_depth <= 1: a"
-                    " promoted URL's grandchildren would need in-loop"
-                    " shortest-path relaxation (see run() docstring)"
-                )
+        if carry is not None and self.checkpoint_dir:
+            raise ValueError(
+                "carry and checkpoint_dir are alternative resume channels;"
+                " pass exactly one (carry IS the state)"
+            )
         start_round, seq_counter = 0, 0
         fetch_log_cum = spark.createDataFrame([], schemas.FETCH_LOG)
         documents_cum = spark.createDataFrame([], schemas.DOCUMENTS)
@@ -624,30 +689,43 @@ class CrawlEngine:
                 frontier = frontier.join(
                     prev_seen.select("url_hash"), "url_hash", "left_anti"
                 )
-                # PROMOTION: a seed previously reached as a DEEPER
-                # outlink re-offers its CACHED outlinks at depth 1 — in
-                # a batch run over the concatenated seed lists it would
-                # be a depth-0 parent, so its children belong in the
-                # fetched set even though in the carried run they sat
-                # past max_depth and were never offered.
-                promo = self._promoted_offers(canon, carry, start_round)
-                if promo is not None:
-                    promo = self._spill(promo, "promo_offers", start_round - 1)
-                    promo_new = promo.join(
-                        prev_seen.select("url_hash"), "url_hash", "left_anti"
-                    ).join(seed_delta.select("url_hash"), "url_hash", "left_anti")
-                    frontier = frontier.unionByName(
-                        promo_new.select(
-                            "url_hash", "url", "host", "depth", "seed_rank",
-                            F.lit(0).alias("attempts"),
-                        )
-                    )
-                    seen_parts.append(
-                        promo.select(
-                            "url_hash", "url", "first_seen_round", "multiplicity"
-                        )
-                    )
-                seen_parts.insert(0, prev_seen)
+                # carry state for depth relaxation (run() docstring):
+                # the cached link graph and the best-known fetch depth
+                # (+ carry seq, the deterministic seed_rank base) of
+                # every carry-fetched node
+                carry_links = self._spill(
+                    carry.outlinks.select("url_hash", "host", "href")
+                    if carry.outlinks is not None
+                    else spark.createDataFrame(
+                        [], "url_hash string, host string, href string"
+                    ),
+                    "carry_links", start_round - 1,
+                )
+                carry_best = self._spill(
+                    carry.fetch_log.groupBy("url_hash").agg(
+                        F.min("depth").alias("best_depth"),
+                        F.min("seq").alias("node_seq"),
+                    ),
+                    "carry_best", start_round - 1,
+                )
+                # seeds the carried run reached DEEPER improve to depth
+                # 0 and relax their cached subtrees
+                seeds_improved = (
+                    canon.select("url_hash").distinct()
+                    .join(carry_best, "url_hash")
+                    .filter(F.col("best_depth") > 0)
+                    .select("url_hash", F.lit(0).alias("depth"), "node_seq")
+                )
+                excluded = prev_seen.select("url_hash").unionByName(
+                    seed_delta.select("url_hash")
+                )
+                fparts, deltas, carry_best = self._carry_relax(
+                    seeds_improved, carry_links, carry_best, excluded,
+                    start_round,
+                )
+                for p in fparts:
+                    frontier = frontier.unionByName(p)
+                seen_parts = [prev_seen, *seen_parts, *deltas]
 
         # cross-round politeness clock (VERDICT r01 item 8): per-host
         # last fetched_at_ms, carried across rounds so an inter-round
@@ -896,6 +974,42 @@ class CrawlEngine:
                     F.lit(0).alias("attempts"),
                 )
             ).unionByName(retry)
+            # carry-mode depth relaxation (run() docstring): this
+            # round's offers that landed on a carry-fetched node at an
+            # IMPROVED depth re-open that node's cached subtree — the
+            # children the carried run cut at its depth horizon enter
+            # the frontier without refetching the node itself. Keys
+            # already offered this round are excluded so a child is
+            # fetched through exactly one path.
+            if carry is not None:
+                imp = self._spill(
+                    offer_counts.join(carry_best, "url_hash")
+                    .filter(F.col("depth") < F.col("best_depth"))
+                    .select("url_hash", "depth", "node_seq"),
+                    "carry_imp", rnd,
+                )
+                if not imp.isEmpty():
+                    excl = _seen_keys().unionByName(
+                        offer_counts.select("url_hash")
+                    )
+                    fparts, rdeltas, carry_best = self._carry_relax(
+                        imp, carry_links, carry_best, excl, rnd
+                    )
+                    for p in fparts:
+                        frontier = frontier.unionByName(p)
+                    for d in rdeltas:
+                        # keep seen_parts and bloom shard parts in
+                        # lockstep — a seen part without a shard would
+                        # make the prefilter claim its keys are
+                        # provably new (false negatives break dedup)
+                        seen_parts.append(d)
+                        if bloom_active:
+                            bloom_parts.append(
+                                self._spill(
+                                    B.build_shards(d),
+                                    f"bloom_relax{len(seen_parts)}", rnd,
+                                )
+                            )
             # advance the cross-round clock with this round's fetches
             host_clock = self._spill(
                 host_clock.unionByName(

@@ -5,16 +5,17 @@ filtering, canonical-URL dedup, outlink enqueue, optional rank-weighted
 priority — against the durable cumulative state of all previous
 triggers via ``CrawlEngine.run(carry=...)``.
 
-Equivalence contract (tests/test_bfs_stream.py): at ``max_depth <= 1``
-the stream-fed cumulative fetch_log covers EXACTLY the URL set a single
-batch BFS over the concatenated seed files fetches, with identical
-per-URL status/title/spans (the fetch is a pure function of the URL)
-and identical seen multiplicities. Scheduling columns (seq,
-fetched_at_ms, round) reflect arrival order — seeds that stream in
-later are crawled later, which IS the deployment semantics — and a
-seed previously reached as a deeper outlink keeps its original fetch
-depth (its children are still enqueued, via carry promotion; see
-``CrawlEngine.run``).
+Equivalence contract (tests/test_bfs_stream.py): the stream-fed
+cumulative fetch_log covers EXACTLY the URL set a single batch BFS
+over the concatenated seed files fetches, with identical per-URL
+status/title/spans (the fetch is a pure function of the URL) —
+depth-cut subtrees of previously fetched nodes are re-opened by the
+engine's carry relaxation at any ``max_depth`` (see
+``CrawlEngine.run`` for the two documented deviations: relaxed nodes
+keep their original deeper fetch depth, and first-offer-wins under
+budget deferral). Scheduling columns (seq, fetched_at_ms, round)
+reflect arrival order — seeds that stream in later are crawled later,
+which IS the deployment semantics.
 
 Durability shape (same as seed_stream.py, ADVICE r04): every trigger
 overwrites its own ``batch-<id>`` dir with the CUMULATIVE outputs

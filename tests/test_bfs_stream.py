@@ -88,9 +88,52 @@ def test_carry_knob_validation(spark):
     )
     with pytest.raises(ValueError, match="carry"):
         eng.run(eng.seeds_from_list(["http://host0.example.com/"]), carry=out)
-    deep = CrawlEngine(spark, max_depth=2)
-    with pytest.raises(NotImplementedError, match="max_depth"):
-        deep.run(deep.seeds_from_list(["http://host0.example.com/"]), carry=out)
+    ck = CrawlEngine(spark, max_depth=1, checkpoint_dir="/tmp/nonexistent_ck")
+    with pytest.raises(ValueError, match="checkpoint"):
+        ck.run(ck.seeds_from_list(["http://host0.example.com/"]), carry=out)
+
+
+def test_carry_depth2_relaxation_equals_batch_bfs(spark):
+    """Depth-2 cascade (r5 generalized carry): a wave-2 seed that wave
+    1 fetched at depth 2 re-opens its cut subtree TWO levels deep —
+    children at relaxed depth 1 and grandchildren at depth 2 — without
+    refetching the interior. Fetched set equals the batch BFS over the
+    concatenated waves; depth divergences are exactly the
+    relaxed-but-already-fetched nodes (stream keeps the deeper
+    original depth)."""
+    hosts = default_hosts()
+    all_seeds = seed_urls(60)
+    seeds1 = all_seeds[:12]
+    e1 = CrawlEngine(spark, hosts=hosts, max_depth=2, max_rounds=40)
+    out1 = e1.run(e1.seeds_from_list(seeds1))
+    log1 = out1.fetch_log.collect()
+    deep_seed = sorted(
+        r["url"] for r in log1 if r["depth"] == 2 and r["status"] == 200
+    )[0]
+    seeds2 = [deep_seed] + all_seeds[40:48]
+
+    e2 = CrawlEngine(spark, hosts=hosts, max_depth=2, max_rounds=40)
+    out2 = e2.run(e2.seeds_from_list(seeds2), carry=out1)
+    got = out2.fetch_log.collect()
+
+    batch = CrawlEngine(spark, hosts=hosts, max_depth=2, max_rounds=40)
+    want = batch.run(batch.seeds_from_list(seeds1 + seeds2)).fetch_log.collect()
+
+    def key(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["url_hash"], []).append((r["status"], r["title"]))
+        return {k: sorted(v) for k, v in out.items()}
+
+    assert key(got) == key(want)
+    got_depth = {r["url_hash"]: r["depth"] for r in got}
+    want_depth = {r["url_hash"]: r["depth"] for r in want}
+    diffs = {h for h, d in want_depth.items() if got_depth[h] != d}
+    for h in diffs:  # only relaxations: stream kept a DEEPER depth
+        assert got_depth[h] > want_depth[h], (h, want_depth[h], got_depth[h])
+    # the cascade really fired: the batch run fetched strictly more
+    # URLs than wave 1 alone did, through the promoted deep seed
+    assert len(key(got)) > len({r["url_hash"] for r in log1})
 
 
 def test_stream_fed_bfs_equals_batch_bfs(spark, tmp_path):
