@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deferred so it doesn't evict one of the r5 rotation's six
         # first-driver-row entries — rotates in next round
         "q_knn_lsh_multiprobe",
+        "q_doc_repetition",
         "q_customer_lookup",
         "q_orders_paged",
         "q_region_rollup",

@@ -125,6 +125,64 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-quality signals (the Gopher/C4-style gates a
+    training pipeline runs before mixing): per doc, the most-frequent
+    bigram's share of all bigrams and the duplicate-token fraction;
+    per source, averages plus how many docs a repetition gate
+    (top-bigram share > 0.18 OR duplicate-token fraction > 0.6) would
+    drop. Docs with fewer than two tokens have no bigram and are
+    excluded on both engines.
+
+    Scale shape: bigrams come from an in-row transform(sequence) —
+    no self-join — then explode + partial-agg shrinks each partition
+    to its per-doc bigram vocabulary before the (doc_id-keyed)
+    shuffle; every later group key is doc_id or source, never a
+    corpus-wide single partition. Ratios are exact int-division
+    doubles, so the gate comparisons are bit-identical across
+    engines; only the averaged outputs need rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    base = (
+        docs.select("doc_id", "source", toks.alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") >= 2)
+    )
+    bigrams = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("transform(sequence(0, n - 2), i -> concat(t[i], ' ', t[i + 1]))")
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "source", "bg").agg(F.count("*").alias("c"))
+    bgfrac = counts.groupBy("doc_id", "source").agg(
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias("top2")
+    )
+    tokfrac = base.select(
+        "doc_id",
+        "source",
+        (
+            F.lit(1.0) - (F.size(F.array_distinct("t")).cast("double") / F.col("n"))
+        ).alias("dupfrac"),
+    )
+    per_doc = bgfrac.join(tokfrac, ["doc_id", "source"])
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("top2"), 6).alias("avg_top_bigram_frac"),
+            F.round(F.avg("dupfrac"), 6).alias("avg_dup_token_frac"),
+            F.sum(
+                F.when((F.col("top2") > 0.18) | (F.col("dupfrac") > 0.6), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over the normalized token stream
     (reference '.works' md5 keying, app_wrapper.py.works:29). The
@@ -356,6 +414,7 @@ QUERIES = {
     "q_doc_filter_pipeline": q_doc_filter_pipeline,
     "q_doc_sample": q_doc_sample,
     "q_doc_quality": q_doc_quality,
+    "q_doc_repetition": q_doc_repetition,
     "q_token_counts": q_token_counts,
     "q_lang_id": q_lang_id,
     "q_doc_summaries": q_doc_summaries,
@@ -375,6 +434,42 @@ _MIX_THR_CASE = (
 _TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
 
 ORACLES = {
+    "q_doc_repetition": f"""
+        WITH toks AS (
+            SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents
+            WHERE len({_TOKS_SQL}) >= 2
+        ),
+        bi AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i + 1])) AS bg
+            FROM toks
+        ),
+        counts AS (
+            SELECT doc_id, source, bg, count(*) AS c
+            FROM bi GROUP BY doc_id, source, bg
+        ),
+        bgfrac AS (
+            SELECT doc_id, source,
+                   CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top2
+            FROM counts GROUP BY doc_id, source
+        ),
+        tokfrac AS (
+            SELECT doc_id, source,
+                   1.0 - (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) AS dupfrac
+            FROM toks
+        ),
+        per_doc AS (
+            SELECT b.doc_id, b.source, b.top2, tf.dupfrac
+            FROM bgfrac b JOIN tokfrac tf USING (doc_id, source)
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(top2), 6) AS avg_top_bigram_frac,
+               round(avg(dupfrac), 6) AS avg_dup_token_frac,
+               CAST(sum(CASE WHEN top2 > 0.18 OR dupfrac > 0.6
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
     "q_doc_sample": f"""
         SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, lang, n_chars
         FROM (
