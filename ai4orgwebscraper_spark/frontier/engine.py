@@ -169,6 +169,7 @@ class CrawlEngine:
         seen_filter: str = "bloom",
         rank_scores: DataFrame | None = None,
         rank_scores_tag: str = "",
+        refresh_seeds: bool = False,
     ):
         self.spark = spark
         self.hosts_rows = hosts if hosts is not None else default_hosts()
@@ -200,6 +201,20 @@ class CrawlEngine:
         self.rank_scores_tag = rank_scores_tag or (
             "scored" if rank_scores is not None else ""
         )
+        # recrawl policy (carry mode only — without carry nothing is
+        # stale): True = a seed already in the carried seen set is
+        # REFETCHED at depth 0 (new fetch_log row, normal politeness
+        # clock and seq), and its LIVE outlinks re-offered — genuinely
+        # new children enqueue through the usual anti-join, while depth
+        # improvements on previously fetched children cascade through
+        # the carry relaxation hook. Cached-outlink replay is skipped
+        # for refreshed seeds (the live fetch supersedes the cache).
+        # The cumulative fetch_log keeps BOTH rows (it is a log);
+        # `documents` dedups on doc_id without recency ordering — with
+        # the deterministic corpus both rows carry identical spans, and
+        # a changed-content deployment would add a latest-round
+        # preference there.
+        self.refresh_seeds = refresh_seeds
         # budgeted tmpfs spill dir for iterative-state truncation (see
         # _spill): shared helper with plans.iterate.spill_loop (ADVICE
         # r02 / VERDICT r03 weak #2 — never ENOSPC a RAM-backed tmpfs;
@@ -684,11 +699,13 @@ class CrawlEngine:
                     "seen_carry", start_round - 1,
                 )
                 # already-seen seeds are never refetched (batch-BFS
-                # equivalence: one fetch per URL); brand-new seeds enter
-                # the frontier at depth 0
-                frontier = frontier.join(
-                    prev_seen.select("url_hash"), "url_hash", "left_anti"
-                )
+                # equivalence: one fetch per URL) — unless the recrawl
+                # policy is on, in which case stale seeds re-enter the
+                # frontier at depth 0 and fetch LIVE
+                if not self.refresh_seeds:
+                    frontier = frontier.join(
+                        prev_seen.select("url_hash"), "url_hash", "left_anti"
+                    )
                 # carry state for depth relaxation (run() docstring):
                 # the cached link graph and the best-known fetch depth
                 # (+ carry seq, the deterministic seed_rank base) of
@@ -716,16 +733,39 @@ class CrawlEngine:
                     .filter(F.col("best_depth") > 0)
                     .select("url_hash", F.lit(0).alias("depth"), "node_seq")
                 )
-                excluded = prev_seen.select("url_hash").unionByName(
-                    seed_delta.select("url_hash")
-                )
-                fparts, deltas, carry_best = self._carry_relax(
-                    seeds_improved, carry_links, carry_best, excluded,
-                    start_round,
-                )
-                for p in fparts:
-                    frontier = frontier.unionByName(p)
-                seen_parts = [prev_seen, *seen_parts, *deltas]
+                if self.refresh_seeds:
+                    # refreshed seeds fetch LIVE (they're back in the
+                    # frontier), which re-offers their current
+                    # outlinks; only record the depth-0 improvement so
+                    # later offers can't spuriously replay the stale
+                    # cache over the fresh fetch
+                    carry_best = self._spill(
+                        carry_best.unionByName(
+                            seeds_improved.select(
+                                "url_hash",
+                                F.col("depth").alias("best_depth"),
+                                "node_seq",
+                            )
+                        )
+                        .groupBy("url_hash")
+                        .agg(
+                            F.min("best_depth").alias("best_depth"),
+                            F.min("node_seq").alias("node_seq"),
+                        ),
+                        "carry_best_refresh", start_round - 1,
+                    )
+                    seen_parts = [prev_seen, *seen_parts]
+                else:
+                    excluded = prev_seen.select("url_hash").unionByName(
+                        seed_delta.select("url_hash")
+                    )
+                    fparts, deltas, carry_best = self._carry_relax(
+                        seeds_improved, carry_links, carry_best, excluded,
+                        start_round,
+                    )
+                    for p in fparts:
+                        frontier = frontier.unionByName(p)
+                    seen_parts = [prev_seen, *seen_parts, *deltas]
 
         # cross-round politeness clock (VERDICT r01 item 8): per-host
         # last fetched_at_ms, carried across rounds so an inter-round

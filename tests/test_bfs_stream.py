@@ -233,3 +233,54 @@ def test_stream_bfs_with_rank_scores(spark, tmp_path):
         engine_factory=engine_factory,
     ).collect()
     _assert_equals_batch(spark, got, seeds1, seeds2)
+
+
+def test_carry_refresh_refetches_stale_seeds(spark):
+    """Recrawl policy (r5): with refresh_seeds=True, a carried-over
+    seed is fetched AGAIN at depth 0 — new fetch_log row, continued
+    seq, politeness clock respected — while everything else keeps
+    fetch-once semantics (no child is duplicated: the live re-offer of
+    its outlinks anti-joins against the carried seen set)."""
+    from ai4orgwebscraper_spark.functions.urls import canonicalize_py, url_hash_py
+
+    hosts = default_hosts()
+    seeds1, _ = _waves()
+    e1 = CrawlEngine(spark, hosts=hosts, max_depth=1, max_rounds=30)
+    out1 = e1.run(e1.seeds_from_list(seeds1))
+    n1 = out1.fetch_log.count()
+
+    stale = seeds1[0]
+    fresh = seed_urls(80)[70:75]
+    e2 = CrawlEngine(
+        spark, hosts=hosts, max_depth=1, max_rounds=30, refresh_seeds=True
+    )
+    out2 = e2.run(e2.seeds_from_list([stale] + fresh), carry=out1)
+    log2 = out2.fetch_log.collect()
+
+    h = url_hash_py(canonicalize_py(stale))
+    mine = sorted((r for r in log2 if r["url_hash"] == h), key=lambda r: r["seq"])
+    old = [r for r in out1.fetch_log.collect() if r["url_hash"] == h]
+    # refetched exactly once more than the carried run fetched it
+    assert len(mine) == len(old) + 1
+    refetch = mine[-1]
+    assert refetch["depth"] == 0 and refetch["seq"] >= n1
+    # identical content on the deterministic corpus
+    assert refetch["status"] == old[0]["status"]
+    assert refetch["title"] == old[0]["title"]
+    # politeness: the refetch respects the carried host clock
+    host_last = max(
+        r["fetched_at_ms"] for r in out1.fetch_log.collect()
+        if r["host"] == refetch["host"]
+    )
+    assert refetch["fetched_at_ms"] > host_last
+    # no duplicated children: counting first-attempt rows only (the
+    # 403→JS retry legitimately adds an attempts=1 row), every
+    # non-refreshed url is fetched exactly once across both runs and
+    # the refreshed seed exactly twice
+    from collections import Counter
+
+    base_fetches = Counter(r["url_hash"] for r in log2 if r["attempts"] == 0)
+    for k, c in base_fetches.items():
+        assert c == (2 if k == h else 1), (k, c)
+    # seq stays dense across the whole cumulative log
+    assert sorted(r["seq"] for r in log2) == list(range(len(log2)))
