@@ -67,6 +67,12 @@ class CrawlOutputs:
     # from the run's own fetch results; NOT part of the checkpoint
     # contract (a resumed run carries only its own rounds' outlinks).
     outlinks: DataFrame | None = None
+    # incrementally maintained best-depth state: (url_hash, best_depth,
+    # node_seq) per fetched URL. A carry-continuation reuses this table
+    # directly instead of re-aggregating the full cumulative fetch_log
+    # — the continuation's state cost becomes O(distinct urls) read +
+    # O(this run's delta) agg, never O(cumulative log rows) per wave.
+    fetch_depths: DataFrame | None = None
 
 
 def frontier_telemetry(frontier: DataFrame, seen: DataFrame) -> dict:
@@ -718,13 +724,23 @@ class CrawlEngine:
                     ),
                     "carry_links", start_round - 1,
                 )
-                carry_best = self._spill(
-                    carry.fetch_log.groupBy("url_hash").agg(
-                        F.min("depth").alias("best_depth"),
-                        F.min("seq").alias("node_seq"),
-                    ),
-                    "carry_best", start_round - 1,
-                )
+                if carry.fetch_depths is not None:
+                    # incrementally maintained by the previous run —
+                    # no re-aggregation of the cumulative log
+                    carry_best = self._spill(
+                        carry.fetch_depths.select(
+                            "url_hash", "best_depth", "node_seq"
+                        ),
+                        "carry_best", start_round - 1,
+                    )
+                else:
+                    carry_best = self._spill(
+                        carry.fetch_log.groupBy("url_hash").agg(
+                            F.min("depth").alias("best_depth"),
+                            F.min("seq").alias("node_seq"),
+                        ),
+                        "carry_best", start_round - 1,
+                    )
                 # seeds the carried run reached DEEPER improve to depth
                 # 0 and relax their cached subtrees
                 seeds_improved = (
@@ -766,6 +782,12 @@ class CrawlEngine:
                     for p in fparts:
                         frontier = frontier.unionByName(p)
                     seen_parts = [prev_seen, *seen_parts, *deltas]
+
+        # seq floor of THIS run's fetches (carry rows sit below it) —
+        # the pruning key for the incremental fetch_depths maintenance
+        # at the end of the run. Checkpoint resumes aggregate the whole
+        # loaded log (0): same one-time cost as the seen aggregation.
+        run_seq0 = seq_counter if carry is not None else 0
 
         # cross-round politeness clock (VERDICT r01 item 8): per-host
         # last fetched_at_ms, carried across rounds so an inter-round
@@ -1112,10 +1134,34 @@ class CrawlEngine:
             .select("url_hash", "url", "first_seen_round", "multiplicity")
         )
         documents = documents_cum.dropDuplicates(["doc_id"])
+        # incrementally maintain the best-depth state: this run's rows
+        # (seq >= the carried offset — the filter prunes the carried
+        # parquet leg) min-agged and folded into the carried table, so
+        # the NEXT continuation never re-aggregates the cumulative log
+        new_depths = (
+            fetch_log_cum.filter(F.col("seq") >= F.lit(run_seq0))
+            .groupBy("url_hash")
+            .agg(
+                F.min("depth").alias("best_depth"),
+                F.min("seq").alias("node_seq"),
+            )
+        )
+        if carry is not None:
+            fetch_depths = (
+                carry_best.unionByName(new_depths)
+                .groupBy("url_hash")
+                .agg(
+                    F.min("best_depth").alias("best_depth"),
+                    F.min("node_seq").alias("node_seq"),
+                )
+            )
+        else:
+            fetch_depths = new_depths
         return CrawlOutputs(
             fetch_log_cum, documents, seen,
             {"rounds": rounds_done, "fetched": seq_counter, "round_metrics": round_metrics},
             outlinks=outlinks_cum,
+            fetch_depths=fetch_depths,
         )
 
 

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from ai4orgwebscraper_spark.functions import urls as U
 
-_TABLES = ("fetch_log", "documents", "seen", "outlinks")
+_TABLES = ("fetch_log", "documents", "seen", "outlinks", "fetch_depths")
 
 
 def _committed_dirs(out_dir: str, exclude: str | None = None) -> list[str]:
@@ -78,6 +78,9 @@ def _load_carry(spark: SparkSession, out_dir: str, exclude: str):
         seen=spark.read.parquet(os.path.join(last, "seen")),
         metrics=metrics,
         outlinks=spark.read.parquet(os.path.join(last, "outlinks")),
+        # incrementally maintained best-depth state — the continuation
+        # reads this small table instead of re-agging the whole log
+        fetch_depths=spark.read.parquet(os.path.join(last, "fetch_depths")),
     )
 
 
@@ -149,7 +152,9 @@ def stream_seed_bfs(
                     [], "url_hash string, host string, href string"
                 )
             for name, df in zip(
-                _TABLES, (out.fetch_log, out.documents, out.seen, outlinks)
+                _TABLES,
+                (out.fetch_log, out.documents, out.seen, outlinks,
+                 out.fetch_depths),
             ):
                 df.write.mode("overwrite").parquet(os.path.join(dest, name))
             with open(marker, "w") as fh:

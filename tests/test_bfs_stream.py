@@ -284,3 +284,55 @@ def test_carry_refresh_refetches_stale_seeds(spark):
         assert c == (2 if k == h else 1), (k, c)
     # seq stays dense across the whole cumulative log
     assert sorted(r["seq"] for r in log2) == list(range(len(log2)))
+
+
+def test_fetch_depths_incremental_state_matches_log(spark):
+    """r5: CrawlOutputs.fetch_depths is the incrementally maintained
+    best-depth table. Invariants: on any run it equals the min-agg of
+    the cumulative fetch_log, and a continuation fed the incremental
+    table produces the SAME rows as one forced to re-aggregate the
+    carried log (fetch_depths=None fallback)."""
+    from ai4orgwebscraper_spark.frontier.engine import CrawlOutputs
+
+    hosts = default_hosts()
+    seeds1, extra = _waves()
+    seeds2 = [_promo_url(spark, seeds1)] + extra
+    e1 = CrawlEngine(spark, hosts=hosts, max_depth=1, max_rounds=30)
+    out1 = e1.run(e1.seeds_from_list(seeds1))
+
+    def depth_agg(log):
+        from pyspark.sql import functions as F
+        return {
+            (r["url_hash"], r["best_depth"], r["node_seq"])
+            for r in log.groupBy("url_hash")
+            .agg(F.min("depth").alias("best_depth"), F.min("seq").alias("node_seq"))
+            .collect()
+        }
+
+    assert {tuple(r) for r in out1.fetch_depths.collect()} == depth_agg(out1.fetch_log)
+
+    e2a = CrawlEngine(spark, hosts=hosts, max_depth=1, max_rounds=30)
+    got_fast = e2a.run(e2a.seeds_from_list(seeds2), carry=out1)
+    stripped = CrawlOutputs(
+        out1.fetch_log, out1.documents, out1.seen, out1.metrics,
+        outlinks=out1.outlinks,  # fetch_depths=None -> re-agg fallback
+    )
+    e2b = CrawlEngine(spark, hosts=hosts, max_depth=1, max_rounds=30)
+    got_slow = e2b.run(e2b.seeds_from_list(seeds2), carry=stripped)
+    rows_fast = sorted(map(str, got_fast.fetch_log.collect()))
+    rows_slow = sorted(map(str, got_slow.fetch_log.collect()))
+    assert rows_fast == rows_slow
+    # the continuation's fetch_depths records the EFFECTIVE best depth:
+    # equal to the log's min fetch depth everywhere except relaxed
+    # nodes (e.g. the promoted seed), where it is strictly better —
+    # exactly what stops a later offer from re-relaxing them
+    state = {r["url_hash"]: (r["best_depth"], r["node_seq"])
+             for r in got_fast.fetch_depths.collect()}
+    log_agg = {h: (d, s) for h, d, s in depth_agg(got_fast.fetch_log)}
+    assert set(state) == set(log_agg)
+    relaxed = 0
+    for h, (d, s) in log_agg.items():
+        assert state[h][1] == s, h          # node_seq always log-true
+        assert state[h][0] <= d, h
+        relaxed += state[h][0] < d
+    assert relaxed >= 1  # the promoted seed really was relaxed
