@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-driver-row entries — rotates in next round
         "q_knn_lsh_multiprobe",
         "q_doc_repetition",
+        "q_events_stream_enrich",
         "q_customer_lookup",
         "q_orders_paged",
         "q_region_rollup",

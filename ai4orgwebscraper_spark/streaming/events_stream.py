@@ -147,10 +147,51 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "n_distinct_users").orderBy("event_type")
 
 
+def q_events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (r5): the streaming fact joined to
+    a STATIC broadcast dimension inside every micro-batch — the
+    canonical production event-pipeline shape (Kafka fact → broadcast
+    dim → agg → sink). The static side is a plain batch DataFrame;
+    Spark re-broadcasts it per micro-batch plan, so the stream never
+    shuffles for the join and the state store holds only the running
+    aggregate. Key: the synthetic user_id mapped onto the 25-row
+    nation dim (deterministic modulus — a stand-in for the usual
+    user→geo attribute lookup)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    joined = stream.withColumn(
+        "nkey", (F.col("user_id") % 25).cast("int")
+    ).join(F.broadcast(nation), F.col("nkey") == F.col("n_nationkey"))
+    agg = joined.groupBy("n_name").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+    name = "enrich_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {name}")  # noqa: S608 — generated name
+    return out.select("n_name", "n_events", "total_value").orderBy("n_name")
+
+
 QUERIES = {
     "q_events_window_stream": q_events_window_stream,
     "q_events_sliding_stream": q_events_sliding_stream,
     "q_events_stream_dedup": q_events_stream_dedup,
+    "q_events_stream_enrich": q_events_stream_enrich,
 }
 
 ORACLES = {
@@ -178,5 +219,12 @@ ORACLES = {
         SELECT event_type, count(*) AS n_distinct_users
         FROM (SELECT DISTINCT user_id, event_type FROM events)
         GROUP BY event_type ORDER BY event_type
+    """,
+    "q_events_stream_enrich": """
+        SELECT n_name, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events e
+        JOIN nation n ON CAST(e.user_id % 25 AS INTEGER) = n.n_nationkey
+        GROUP BY n_name ORDER BY n_name
     """,
 }
