@@ -285,19 +285,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # set; everything past the window stays locally oracle-/twin-
     # tested in tests/.
     #
-    # r5 rotation (VERDICT r04 #2): the 8 oracles that had never had a
-    # driver row (q_dedup_minhash_lsh, q_knn_ivf_multiprobe + the six
-    # r4 additions) move IN-window; 8 TPC-H-shape entries whose plans
-    # have been driver-green and unchanged since r1 rotate out. Every
-    # oracled query has now had at least one CORRECTNESS round row.
+    # r5 rotation (VERDICT r04 #2): every oracle that has never had a
+    # driver row moves IN-window — the 8 from r4 (q_dedup_minhash_lsh,
+    # q_knn_ivf_multiprobe + six r4 additions) plus the r5 additions
+    # (q_knn_lsh_multiprobe, q_doc_repetition, q_events_stream_enrich,
+    # retrieval suite q_inverted_index/q_bm25_search/
+    # q_tfidf_lang_terms). Rotated out to make room: TPC-H-shape and
+    # events-shape entries that are 4x driver-green with unchanged
+    # plans since r1 (verified against CORRECTNESS_r01..r04 before
+    # deferring). After r5 records, every oracled query has at least
+    # one CORRECTNESS round row.
     deferred = [
-        # new in r5 (multiprobe ring for the floored single-bucket LSH
-        # recall): oracle-green locally + recall-tracked in bench;
-        # deferred so it doesn't evict one of the r5 rotation's six
-        # first-driver-row entries — rotates in next round
-        "q_knn_lsh_multiprobe",
-        "q_doc_repetition",
-        "q_events_stream_enrich",
         "q_customer_lookup",
         "q_orders_paged",
         "q_region_rollup",
@@ -306,6 +304,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_segment_stats",
         "q_events_by_type",
         "q_pivot_value_by_type",
+        "q_event_type_rates",
+        "q_events_hourly",
+        "q_user_topk",
+        "q_word_topk",
+        "q_events_window_stream",
+        "q_events_stream_dedup",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out["crawl_reference_parity"] = _crawl_reference_log

@@ -16,6 +16,7 @@ from ai4orgwebscraper_spark.operators import (  # noqa: F401
     graph,
     multimodal,
     relational,
+    retrieval,
     similarity,
     temporal,
     text,
@@ -23,6 +24,6 @@ from ai4orgwebscraper_spark.operators import (  # noqa: F401
 
 QUERIES = {}
 ORACLES = {}
-for _m in (relational, analytics, text, dedup, similarity, clustering, graph, temporal):
+for _m in (relational, analytics, text, dedup, similarity, clustering, graph, temporal, retrieval):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -54,6 +54,8 @@ HEADLINE = [
     # fixpoint operators tracked alongside q_dedup_clusters
     "kmeans_embeddings",
     "q_pagerank",
+    # retrieval-family leg (r5): BM25 ranked search over the corpus
+    "q_bm25_search",
 ]
 
 # interleaved repeats (VERDICT r02 item 1): the shared host's
