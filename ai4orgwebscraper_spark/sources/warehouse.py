@@ -106,6 +106,19 @@ def order_revenue(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def write_partitioned(df: DataFrame, path: str, keys: list[str]) -> None:
+    """Hive-style directory partitioning — the OTHER physical-layout
+    lever next to bucketing: an equality/IN predicate on a partition
+    key prunes whole directories at PLANNING time (PartitionFilters in
+    the scan, PartitionCount < total), so a per-lang or per-date read
+    of a 100 TB corpus touches only its shard's files. Partition keys
+    must be low-cardinality (lang, date, source tier) — high-
+    cardinality keys (doc_id, url_hash) create millions of tiny
+    directories and kill the driver's file listing; those belong in
+    bucketing instead."""
+    df.write.mode("overwrite").partitionBy(*keys).parquet(path)
+
+
 def co_located_order_revenue(
     spark: SparkSession, sf_dir: str, root: str, n_buckets: int = 8
 ) -> DataFrame:

@@ -91,3 +91,44 @@ def test_groupby_on_bucket_key_skips_exchange(spark, no_broadcast, bucketed_tabl
     )
     plan = _executed_plan(agg)
     assert "Exchange" not in plan
+
+
+def test_partitioned_write_prunes_directories(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ai4orgwebscraper_spark.sources.warehouse import write_partitioned
+
+    docs = load_table(spark, SF_DIR, "documents")
+    root = tempfile.mkdtemp(prefix="part_wh_")
+    write_partitioned(docs, root, ["lang"])
+
+    df = spark.read.parquet(root).filter(F.col("lang") == "en").select(
+        "doc_id", "n_chars"
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # directory-level pruning is a PLANNING-time PartitionFilter, not a
+    # row-group PushedFilter; and the projection prunes columns at scan
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:80]
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan
+
+    # only files under the lang=en directory are ever opened
+    files = [
+        r[0]
+        for r in spark.read.parquet(root)
+        .filter(F.col("lang") == "en")
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    assert files and all("lang=en" in f for f in files)
+
+    # parity with the unpartitioned read
+    n_plain = docs.filter(F.col("lang") == "en").count()
+    assert df.count() == n_plain
+
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
