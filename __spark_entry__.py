@@ -271,11 +271,12 @@ def _html_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ai4orgwebscraper_spark import operators
-    from ai4orgwebscraper_spark.streaming import events_stream
+    from ai4orgwebscraper_spark.streaming import docs_stream, events_stream
 
     registered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     registered.update(operators.QUERIES)
     registered.update(events_stream.QUERIES)
+    registered.update(docs_stream.QUERIES)
     # Driver-window ordering (VERDICT r03 #1): the driver records the
     # FIRST 50 entries in insertion order. The two flagship rows-only
     # entries — the BASELINE.json contract (crawl parity + the
@@ -310,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_word_topk",
         "q_events_window_stream",
         "q_events_stream_dedup",
+        "q_rollup_order_status",
     ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out["crawl_reference_parity"] = _crawl_reference_log
@@ -338,9 +340,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from ai4orgwebscraper_spark import operators
-    from ai4orgwebscraper_spark.streaming import events_stream
+    from ai4orgwebscraper_spark.streaming import docs_stream, events_stream
 
     out: dict[str, str] = {}
     out.update(operators.ORACLES)
     out.update(events_stream.ORACLES)
+    out.update(docs_stream.ORACLES)
     return out
