@@ -50,33 +50,41 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: explode -> partial count shrinks each partition to ~vocab
     x docs-per-partition before the (term, doc_id) shuffle; the final
-    per-term agg is vocab-sized. At 100 TB the full index is the
-    sorted/bucketed write of the (term, doc_id, tf) table itself —
-    `postings_head` here is the bounded 5-doc sample column a catalog
-    row would carry, not the storage format (collect_set stays safe
-    because it is capped by slice() semantics only after the agg;
-    production materialization goes through the bucketed write, see
-    README 100 TB table)."""
+    per-term stats agg is vocab-sized. The posting-list head is NOT a
+    per-term collect_* (a hot term's full posting list must never
+    materialize as one in-memory array): it is a rank-filtered window
+    over (term, doc_id) — a sort-based, spillable shuffle, and the
+    SAME sorted distribution the production materialization (the
+    sorted/bucketed write of the (term, doc_id, tf) table, see README
+    100 TB table) needs anyway — so only <=5 rows per term survive
+    into the bounded collect_list."""
     per = (
         _index_terms(load_table(spark, sf_dir, "documents"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
     )
-    return (
-        per.groupBy("term")
+    stats = per.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    head = (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("term")
         .agg(
-            F.count("*").cast("long").alias("df"),
-            F.sum("tf").cast("long").alias("tf_total"),
             F.concat_ws(
                 ",",
                 F.transform(
-                    F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5),
+                    F.sort_array(F.collect_list("doc_id")),
                     lambda d: d.cast("string"),
                 ),
-            ).alias("postings_head"),
+            ).alias("postings_head")
         )
-        .orderBy(F.desc("df"), "term")
     )
+    return stats.join(head, "term").select(
+        "term", "df", "tf_total", "postings_head"
+    ).orderBy(F.desc("df"), "term")
 
 
 def bm25_scores(
