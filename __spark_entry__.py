@@ -296,7 +296,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # plans since r1 (verified against CORRECTNESS_r01..r04 before
     # deferring). After r5 records, every oracled query has at least
     # one CORRECTNESS round row.
+    #
+    # r5 late additions (segment dedup, BPE, DSIR selection) also go
+    # in-window; three more 3-4x-green stable entries
+    # (q_top_parts_per_brand, q_events_percentiles, q_events_cube —
+    # checked green in CORRECTNESS_r01..r04) rotate out to keep the
+    # window at 50.
     deferred = [
+        "q_top_parts_per_brand",
+        "q_events_percentiles",
+        "q_events_cube",
         "q_customer_lookup",
         "q_orders_paged",
         "q_region_rollup",

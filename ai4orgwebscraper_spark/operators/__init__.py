@@ -20,10 +20,11 @@ from ai4orgwebscraper_spark.operators import (  # noqa: F401
     similarity,
     temporal,
     text,
+    tokenizer,
 )
 
 QUERIES = {}
 ORACLES = {}
-for _m in (relational, analytics, text, dedup, similarity, clustering, graph, temporal, retrieval):
+for _m in (relational, analytics, text, dedup, similarity, clustering, graph, temporal, retrieval, tokenizer):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -545,6 +545,115 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEG_TOKENS = 10
+
+
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact SEGMENT dedup — the C4 "repeated span"
+    rule (Raffel et al. 2020 dedupe repeated 3-sentence lines; Lee et
+    al. 2021 "Deduplicating Training Data Makes Language Models
+    Better" drop exact duplicate substrings, keep one occurrence),
+    re-expressed at fixed 10-token segment granularity because the
+    synthetic corpus has no newlines.
+
+    Rule: tokenize each doc, cut into consecutive 10-token segments
+    (trailing partial kept), md5 each; every segment keeps only its
+    globally-FIRST occurrence (min (doc_id, seg_idx)) — all other
+    occurrences are dropped, docs are reassembled from their kept
+    segments in order.
+
+    Output is a per-source audit row: doc/segment/token drop counts
+    plus an ORDER-INSENSITIVE digest of the reassembled corpus
+    (count-distinct/min/max of per-doc md5s + total cleaned chars).
+    Deliberately NOT a per-source string_agg corpus hash: that would
+    hold a source's entire cleaned text in one aggregation buffer —
+    width-unbounded at 100 TB. Per-doc cleaned-text equality against
+    a pure-Python twin is pinned in tests/test_dedup.py.
+
+    Scale shape: one corpus-scale explode (segments), one groupBy
+    seg_hash (map-side combined min+nothing-else) for the keeper
+    table, one shuffle join back on seg_hash, one groupBy doc_id
+    bounded by doc size, and a 20-row source rollup. The keeper
+    join-back deliberately uses groupBy+join (two segment passes)
+    rather than a single-pass row_number window over seg_hash: a
+    boilerplate segment duplicated 10^6 times is a HOT key, and AQE
+    skew-join can split the join's straggler partition (pinned for
+    this plan family in tests/test_skew.py) while a window's hot
+    partition cannot be split — the second scan is the price of the
+    skew-safe shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
+    n_segs = F.greatest(
+        F.ceil(F.size("toks") / F.lit(SEG_TOKENS)).cast("int"), F.lit(1)
+    )
+    segs = (
+        base.select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - 1),
+                    lambda i: F.slice(
+                        F.col("toks"), i * SEG_TOKENS + 1, SEG_TOKENS
+                    ),
+                )
+            ).alias("seg_idx", "seg"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "seg_idx",
+            F.concat_ws(" ", "seg").alias("seg_text"),
+            F.size("seg").alias("seg_len"),
+        )
+        .withColumn("seg_hash", F.md5("seg_text"))
+    )
+    keepers = segs.groupBy("seg_hash").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("keeper")
+    )
+    marked = segs.join(keepers, "seg_hash").withColumn(
+        "dropped",
+        (F.col("doc_id") != F.col("keeper.doc_id"))
+        | (F.col("seg_idx") != F.col("keeper.seg_idx")),
+    )
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0)).alias("n_dropped"),
+        F.sum(F.when(F.col("dropped"), F.col("seg_len")).otherwise(0)).alias(
+            "toks_dropped"
+        ),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("dropped"), F.struct("seg_idx", "seg_text"))
+                    )
+                ),
+                lambda s: s["seg_text"],
+            ),
+        ).alias("cleaned"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n_dropped") > 0, 1).otherwise(0)).alias(
+                "n_docs_affected"
+            ),
+            F.sum("n_segs").alias("n_segments"),
+            F.sum("n_dropped").alias("n_segments_dropped"),
+            F.sum("toks_dropped").alias("n_tokens_dropped"),
+            F.count_distinct(F.md5("cleaned")).alias("n_distinct_cleaned"),
+            F.min(F.md5("cleaned")).alias("cleaned_md5_min"),
+            F.max(F.md5("cleaned")).alias("cleaned_md5_max"),
+            F.sum(F.length("cleaned")).alias("n_cleaned_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_lsh_verified": q_dedup_lsh_verified,
@@ -554,6 +663,7 @@ QUERIES = {
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_doc_contamination": q_doc_contamination,
     "q_dedup_materialize": q_dedup_materialize,
+    "q_dedup_segments": q_dedup_segments,
 }
 
 _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
@@ -590,6 +700,44 @@ _LSH_PAIRS_CTES = f"""
 """
 
 ORACLES = {
+    # q_dedup_segments: keep each segment's globally-first occurrence
+    # ((doc_id, seg_idx) min == row_number 1 over that order),
+    # reassemble, roll up per source — the literal SQL of the Spark
+    # plan above (bounded-state digest, no corpus concat)
+    "q_dedup_segments": f"""
+        WITH d AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+        segs AS (
+            SELECT doc_id, source, i AS seg_idx,
+                   array_to_string(toks[i * {SEG_TOKENS} + 1 : i * {SEG_TOKENS} + {SEG_TOKENS}], ' ') AS seg_text,
+                   len(toks[i * {SEG_TOKENS} + 1 : i * {SEG_TOKENS} + {SEG_TOKENS}]) AS seg_len
+            FROM d, UNNEST(range(0, greatest(CAST(ceil(len(toks) / {SEG_TOKENS}.0) AS INT), 1))) g(i)
+        ),
+        marked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY md5(seg_text) ORDER BY doc_id, seg_idx
+                   ) > 1 AS dropped
+            FROM segs
+        ),
+        per_doc AS (
+            SELECT doc_id, source,
+                   count(*) AS n_segs,
+                   CAST(count(*) FILTER (dropped) AS BIGINT) AS n_dropped,
+                   CAST(coalesce(sum(seg_len) FILTER (dropped), 0) AS BIGINT) AS toks_dropped,
+                   coalesce(string_agg(seg_text, ' ' ORDER BY seg_idx) FILTER (NOT dropped), '') AS cleaned
+            FROM marked GROUP BY doc_id, source
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(count(*) FILTER (n_dropped > 0) AS BIGINT) AS n_docs_affected,
+               CAST(sum(n_segs) AS BIGINT) AS n_segments,
+               CAST(sum(n_dropped) AS BIGINT) AS n_segments_dropped,
+               CAST(sum(toks_dropped) AS BIGINT) AS n_tokens_dropped,
+               CAST(count(DISTINCT md5(cleaned)) AS BIGINT) AS n_distinct_cleaned,
+               min(md5(cleaned)) AS cleaned_md5_min,
+               max(md5(cleaned)) AS cleaned_md5_max,
+               CAST(sum(length(cleaned)) AS BIGINT) AS n_cleaned_chars
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
     "q_dedup_lsh_verified": f"""
         WITH {_LSH_PAIRS_CTES},
         sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),

@@ -406,6 +406,66 @@ def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SELECT_VOCAB = 40
+SELECT_TOPK = 3
+
+
+def q_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-domain importance selection (DSIR-lite — Xie et al.
+    2023 "Data Selection for Language Models via Importance
+    Resampling", reduced to its RNG-free core): score every document
+    by how much of its token mass falls in the TARGET domain's
+    characteristic vocabulary, then take the top-k per source. Target
+    here = the `lang='en'` sub-corpus; vocabulary = its top-40 tokens
+    by frequency (ties: token asc — deterministic).
+
+    Scale shape: the vocabulary is MODEL STATE (top-V agg → V rows to
+    the driver, exactly the kmeans-centroid pattern,
+    clustering.py:90), folded back as an in-row literal-array filter —
+    scoring is a single narrow pass with NO explode and NO shuffle; at
+    a realistic 10^5-term vocabulary the same score is the
+    broadcast-hash-join of an exploded token column (the in-row form
+    is the V<=O(100) fast path). The only shuffles are the tiny vocab
+    agg and the per-source top-k window (source-partitioned,
+    row_number-pruned)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab_rows = (
+        docs.filter(F.col("lang") == "en")
+        .select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(SELECT_VOCAB)
+        .collect()
+    )
+    vocab_arr = F.array(*[F.lit(r["w"]) for r in vocab_rows])
+    toks = _tokens(F.col("text"))
+    in_vocab = F.size(F.filter(toks, lambda t: F.array_contains(vocab_arr, t)))
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.when(
+            F.size(toks) > 0, F.round(in_vocab / F.size(toks), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    )
+    return (
+        scored.withColumn("sel_rank", rk)
+        .filter(F.col("sel_rank") <= SELECT_TOPK)
+        .select(
+            "source", F.col("sel_rank").cast("long").alias("sel_rank"),
+            "doc_id", "score",
+        )
+        .orderBy("source", "sel_rank")
+    )
+
+
 QUERIES = {
     "q_word_topk": q_word_topk,
     "q_doc_split": q_doc_split,
@@ -413,6 +473,7 @@ QUERIES = {
     "q_doc_pack": q_doc_pack,
     "q_doc_filter_pipeline": q_doc_filter_pipeline,
     "q_doc_sample": q_doc_sample,
+    "q_doc_selection": q_doc_selection,
     "q_doc_quality": q_doc_quality,
     "q_doc_repetition": q_doc_repetition,
     "q_token_counts": q_token_counts,
@@ -434,6 +495,28 @@ _MIX_THR_CASE = (
 _TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
 
 ORACLES = {
+    # q_doc_selection: en-corpus top-40 vocab -> in-vocab token-mass
+    # score -> top-3 per source (the literal SQL of the Spark plan)
+    "q_doc_selection": f"""
+        WITH vocab AS (
+            SELECT w FROM (
+                SELECT unnest({_TOKS_SQL}) AS w FROM documents WHERE lang = 'en'
+            ) GROUP BY w ORDER BY count(*) DESC, w LIMIT 40
+        ),
+        v AS (SELECT list(w) AS vs FROM vocab),
+        scored AS (
+            SELECT source, doc_id,
+                   CASE WHEN len(toks) > 0
+                        THEN round(CAST(len(list_filter(toks, t -> list_contains(v.vs, t))) AS DOUBLE) / len(toks), 6)
+                        ELSE 0.0 END AS score
+            FROM (SELECT source, doc_id, {_TOKS_SQL} AS toks FROM documents), v
+        )
+        SELECT source, CAST(rk AS BIGINT) AS sel_rank, doc_id, score FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY source ORDER BY score DESC, doc_id) AS rk
+            FROM scored
+        ) WHERE rk <= 3 ORDER BY source, sel_rank
+    """,
     "q_doc_repetition": f"""
         WITH toks AS (
             SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents

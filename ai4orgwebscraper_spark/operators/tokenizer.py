@@ -1,0 +1,180 @@
+"""Distributed BPE tokenizer training over `documents` — the
+vocabulary-construction step of an LLM training-data pipeline
+(Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+Subword Units"). Absent in the reference (which never tokenizes below
+the word level — app.py:22 stops at `\\b\\w+\\b`); first-class here
+because a 100 TB corpus engine that feeds a tokenizer trainer must be
+able to BE the tokenizer trainer.
+
+Algorithm (classic corpus-weighted BPE):
+  1. Pre-aggregate the corpus to (word, count) — the standard BPE
+     trick that makes every later step O(|vocab|), not O(|corpus|).
+     At 100 TB this is the only data-scale pass: one explode +
+     map-side-combined groupBy.
+  2. Each word becomes a symbol sequence (its characters). Per merge
+     step: count adjacent symbol pairs weighted by word count, take
+     the argmax (ties: lexicographically smallest pair — RNG-free),
+     fuse every occurrence of that pair, repeat.
+  3. The learned model is the ordered merge list — k rows of driver
+     state per step (exactly the kmeans/PageRank model-state shape,
+     clustering.py:77).
+
+Cross-engine determinism: symbol sequences are encoded as strings
+with TWO spaces between symbols and ONE leading/trailing space
+(`' a  b  c '`). Fusing pair (a, b) is then the literal
+`replace(seq, ' a  b ', ' ab ')`: because each boundary contributes
+its own space, non-overlapping left-to-right `replace` — the
+semantics of BOTH Spark's `F.replace` and DuckDB's `replace` —
+reproduces canonical greedy BPE exactly (with single-space
+separators, `'a a a'` would mis-fuse; with double spaces the second
+occurrence keeps its own leading space). `tests/test_tokenizer.py`
+pins this against a from-scratch pure-Python BPE on tuple lists, and
+the DuckDB oracle unrolls the loop as CTEs (graph.py:175 pattern).
+
+Scale shape: the iteration state is the vocab-sized (word, n, seq)
+table; pair counting is an in-row transform + explode whose output is
+|vocab| x avg-word-length rows, shuffled once per step on the pair
+key with map-side combine; the merge rule is a 1-row broadcast-as-
+literal. No data-scale shuffle after step 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai4orgwebscraper_spark.operators.text import _tokens
+from ai4orgwebscraper_spark.sources.readers import load_table
+
+N_MERGES = 5
+SEP = "\x1f"  # below every corpus symbol char => pair-string order == (a, b) tuple order
+
+
+def _char_seq(word_col):
+    """' a  b  c ' encoding of a word's characters (module docstring)."""
+    chars = F.filter(F.split(word_col, ""), lambda c: c != "")
+    return F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
+
+
+def bpe_merges(words: DataFrame, n_merges: int = N_MERGES) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merge rules from a (word, n) vocabulary.
+
+    Returns [(sym_a, sym_b, pair_count), ...] in merge order. The
+    vocab table is persisted for the loop (scanned once per step);
+    the shuffle width is narrowed to the model-state scale exactly as
+    in kmeans (clustering.py:100) — pair counts are |vocab|-sized,
+    not corpus-sized.
+    """
+    spark = words.sparkSession
+    words = words.select("word", "n", _char_seq(F.col("word")).alias("seq")).persist()
+    n_vocab = words.count()  # materialize before narrowing the width
+    sess_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    from ai4orgwebscraper_spark.plans.iterate import loop_width
+
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(loop_width(spark, n_vocab))
+    )
+    merges: list[tuple[str, str, int]] = []
+    try:
+        seq = F.col("seq")
+        for _ in range(n_merges):
+            # fold learned merges into the seq expression: k literal
+            # replace nodes over the PERSISTED vocab — constant-depth
+            # lineage, no per-step spill needed
+            syms = F.split(F.trim(seq), "  ")
+            pairs = F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.concat(
+                    F.element_at(syms, i), F.lit(SEP), F.element_at(syms, i + 1)
+                ),
+            )
+            best = (
+                words.filter(F.size(syms) >= 2)
+                .select("n", F.explode(pairs).alias("pair"))
+                .groupBy("pair")
+                .agg(F.sum("n").alias("cnt"))
+                .orderBy(F.desc("cnt"), "pair")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break  # every word fused to a single symbol
+            a, b = best[0]["pair"].split(SEP)
+            merges.append((a, b, int(best[0]["cnt"])))
+            seq = F.replace(
+                seq, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
+        words.unpersist(blocking=False)
+    return merges
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: the first 5 corpus-weighted BPE merge rules over
+    `documents` tokens. Oracle = the loop unrolled as DuckDB CTEs;
+    canonical-BPE semantics pinned by the pure-Python twin in
+    tests/test_tokenizer.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    merges = bpe_merges(words)
+    rows = [(i + 1, a, b, cnt) for i, (a, b, cnt) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_idx int, sym_a string, sym_b string, pair_count bigint"
+    ).orderBy("merge_idx")
+
+
+def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """The BPE loop unrolled: s{k} = vocab after k merges, p{k+1} =
+    pair counts over s{k}, b{k+1} = the argmax rule — the literal SQL
+    of each bpe_merges() step (pattern: graph.py:_pagerank_oracle_sql)."""
+    from ai4orgwebscraper_spark.operators.text import _TOKS_SQL
+
+    parts = [
+        f"""words AS MATERIALIZED (
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
+            GROUP BY word
+        )""",
+        """s0 AS MATERIALIZED (
+            SELECT word, n,
+                   ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS seq
+            FROM words
+        )""",
+    ]
+    finals = []
+    for k in range(1, n_merges + 1):
+        parts.append(f"""p{k} AS MATERIALIZED (
+            SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+            FROM (SELECT n, string_split(trim(seq), '  ') AS syms FROM s{k - 1}),
+                 UNNEST(range(1, greatest(len(syms), 1))) g(i)
+            GROUP BY 1, 2
+        )""")
+        parts.append(f"""b{k} AS MATERIALIZED (
+            SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+        )""")
+        parts.append(f"""s{k} AS MATERIALIZED (
+            SELECT word, n,
+                   replace(seq,
+                           ' ' || (SELECT a FROM b{k}) || '  ' || (SELECT b FROM b{k}) || ' ',
+                           ' ' || (SELECT a FROM b{k}) || (SELECT b FROM b{k}) || ' ') AS seq
+            FROM s{k - 1}
+        )""")
+        finals.append(
+            f"SELECT {k} AS merge_idx, a AS sym_a, b AS sym_b, cnt AS pair_count FROM b{k}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+        + "\nORDER BY merge_idx"
+    )
+
+
+QUERIES = {"q_bpe_merges": q_bpe_merges}
+ORACLES = {"q_bpe_merges": _bpe_oracle_sql()}

@@ -56,6 +56,10 @@ HEADLINE = [
     "q_pagerank",
     # retrieval-family leg (r5): BM25 ranked search over the corpus
     "q_bm25_search",
+    # r5 late additions: cross-doc segment dedup (corpus-scale
+    # explode + skew-safe keeper join) and iterative BPE training
+    "q_dedup_segments",
+    "q_bpe_merges",
 ]
 
 # interleaved repeats (VERDICT r02 item 1): the shared host's

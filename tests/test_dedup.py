@@ -122,3 +122,103 @@ def test_fingerprint_matches_text_module(spark, planted_sf):
     fp = text.q_doc_fingerprint(spark, planted_sf)
     dups = fp.filter(F.col("n_docs") > 1).collect()
     assert len(dups) == 1 and dups[0]["n_docs"] == 3
+
+
+# ---------------------------------------------------------------------------
+# cross-document segment dedup (q_dedup_segments)
+# ---------------------------------------------------------------------------
+
+def _seg_twin(docs):
+    """Pure-Python twin: docs = [(doc_id, text, source)] -> per-doc
+    cleaned text + the operator's per-source audit rows."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    segs = []  # (doc_id, seg_idx, seg_tokens)
+    per_doc_meta = {}
+    for doc_id, txt, source in docs:
+        toks = [w for w in re.split(r"[^a-z0-9]+", txt.lower()) if w]
+        n = max(-(-len(toks) // dedup.SEG_TOKENS), 1)
+        per_doc_meta[doc_id] = source
+        for i in range(n):
+            segs.append((doc_id, i, toks[i * dedup.SEG_TOKENS:(i + 1) * dedup.SEG_TOKENS]))
+    first = {}
+    for doc_id, i, seg in sorted(segs):
+        first.setdefault(" ".join(seg), (doc_id, i))
+    cleaned = defaultdict(list)
+    stats = defaultdict(lambda: [0, 0, 0])  # per doc: n_segs, n_dropped, toks_dropped
+    for doc_id, i, seg in sorted(segs):
+        txt = " ".join(seg)
+        stats[doc_id][0] += 1
+        if first[txt] != (doc_id, i):
+            stats[doc_id][1] += 1
+            stats[doc_id][2] += len(seg)
+        else:
+            cleaned[doc_id].append(txt)
+    cleaned_txt = {d: " ".join(cleaned.get(d, [])) for d in per_doc_meta}
+    rows = {}
+    for src in sorted(set(per_doc_meta.values())):
+        ds = sorted(d for d, s in per_doc_meta.items() if s == src)
+        md5s = [md5(cleaned_txt[d]) for d in ds]
+        rows[src] = {
+            "n_docs": len(ds),
+            "n_docs_affected": sum(1 for d in ds if stats[d][1] > 0),
+            "n_segments": sum(stats[d][0] for d in ds),
+            "n_segments_dropped": sum(stats[d][1] for d in ds),
+            "n_tokens_dropped": sum(stats[d][2] for d in ds),
+            "n_distinct_cleaned": len(set(md5s)),
+            "cleaned_md5_min": min(md5s),
+            "cleaned_md5_max": max(md5s),
+            "n_cleaned_chars": sum(len(cleaned_txt[d]) for d in ds),
+        }
+    return cleaned_txt, rows
+
+
+@pytest.fixture(scope="module")
+def seg_sf(spark, tmp_path_factory):
+    """Planted segment-level duplication: S1 shared by three docs
+    (kept only in doc 0), a within-doc repeat (doc 3), a doc whose
+    ENTIRE content is a duplicate (doc 2 -> cleaned '')."""
+    s1 = " ".join("w%02d" % i for i in range(10))
+    s2 = " ".join("x%02d" % i for i in range(10))
+    s3 = " ".join("y%02d" % i for i in range(10))
+    u = " ".join("u%02d" % i for i in range(10))
+    rows = [
+        (0, f"{s1} {s2} tail1 tail2 tail3", "srcA"),
+        (1, f"{s1} {u}", "srcA"),
+        (2, s1, "srcB"),
+        (3, f"{s3} {s3}", "srcB"),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, "en", s, len(t)) for d, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path_factory.mktemp("segs")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d), rows
+
+
+def test_segment_dedup_matches_twin(spark, seg_sf):
+    sf_dir, rows = seg_sf
+    cleaned, exp = _seg_twin([(d, t, s) for d, t, s in rows])
+    got = {r["source"]: r.asDict() for r in dedup.q_dedup_segments(spark, sf_dir).collect()}
+    assert set(got) == set(exp)
+    for src in exp:
+        assert {k: got[src][k] for k in exp[src]} == exp[src], src
+
+
+def test_segment_dedup_semantics(spark, seg_sf):
+    sf_dir, rows = seg_sf
+    cleaned, _ = _seg_twin([(d, t, s) for d, t, s in rows])
+    # doc 1 keeps only its unique segment; doc 2 is dropped entirely;
+    # doc 3's within-doc repeat keeps the first occurrence
+    assert cleaned[1] == " ".join("u%02d" % i for i in range(10))
+    assert cleaned[2] == ""
+    assert cleaned[3] == " ".join("y%02d" % i for i in range(10))
+    got = {r["source"]: r for r in dedup.q_dedup_segments(spark, sf_dir).collect()}
+    assert got["srcB"]["n_docs_affected"] == 2
+    assert got["srcB"]["n_tokens_dropped"] == 20
