@@ -297,15 +297,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deferring). After r5 records, every oracled query has at least
     # one CORRECTNESS round row.
     #
-    # r5 late additions (segment dedup, BPE, DSIR selection) also go
-    # in-window; three more 3-4x-green stable entries
-    # (q_top_parts_per_brand, q_events_percentiles, q_events_cube —
-    # checked green in CORRECTNESS_r01..r04) rotate out to keep the
-    # window at 50.
+    # r5 late additions (segment dedup, BPE, DSIR selection, SemDeDup)
+    # also go in-window; four more 3-4x-green stable entries
+    # (q_top_parts_per_brand, q_events_percentiles, q_events_cube,
+    # q_part_nested_detail — checked green in CORRECTNESS_r01..r04)
+    # rotate out to keep the window at 50.
     deferred = [
         "q_top_parts_per_brand",
         "q_events_percentiles",
         "q_events_cube",
+        "q_part_nested_detail",
         "q_customer_lookup",
         "q_orders_paged",
         "q_region_rollup",

@@ -176,6 +176,7 @@ class CrawlEngine:
         rank_scores: DataFrame | None = None,
         rank_scores_tag: str = "",
         refresh_seeds: bool = False,
+        trap_guard: bool = False,
     ):
         self.spark = spark
         self.hosts_rows = hosts if hosts is not None else default_hosts()
@@ -221,6 +222,11 @@ class CrawlEngine:
         # a changed-content deployment would add a latest-round
         # preference there.
         self.refresh_seeds = refresh_seeds
+        # spider-trap guard (urls.is_trap_col): when on, trap-shaped
+        # URLs are rejected at EVERY frontier entry point — seed
+        # intake, in-loop offers, carry-replayed offers — before seen
+        # counting, in lockstep with oracle.bfs_crawl(trap_guard=True)
+        self.trap_guard = trap_guard
         # budgeted tmpfs spill dir for iterative-state truncation (see
         # _spill): shared helper with plans.iterate.spill_loop (ADVICE
         # r02 / VERDICT r03 weak #2 — never ENOSPC a RAM-backed tmpfs;
@@ -242,6 +248,11 @@ class CrawlEngine:
                 "round_seconds": self.round_seconds,
                 "max_depth": self.max_depth,
                 "rank_scores_tag": self.rank_scores_tag,
+                # trap_guard changes which URLs may EVER enter the
+                # frontier, so a resume under a different setting
+                # would silently diverge — fingerprint it (unlike
+                # bloom/salting, which are result-transparent)
+                "trap_guard": self.trap_guard,
                 "hosts": sorted(
                     (json.dumps(h, sort_keys=True, default=str) for h in self.hosts_rows)
                 ),
@@ -265,7 +276,7 @@ class CrawlEngine:
         the oracle twin drops exactly when host_py() is falsy, so both
         engines agree instead of diverging on NULL-vs-'' hosts."""
         canon = U.canonicalize_col(F.col("url"))
-        return (
+        out = (
             seeds.select("seed_rank", canon.alias("url"))
             .filter(F.col("url").isNotNull())
             .select(
@@ -277,6 +288,9 @@ class CrawlEngine:
             )
             .filter(F.col("host").isNotNull() & (F.col("host") != ""))
         )
+        if self.trap_guard:
+            out = out.filter(~U.is_trap_col(U.path_col(F.col("url"))))
+        return out
 
     def _seen_filter_mod(self):
         if self.seen_filter == "cuckoo":
@@ -531,6 +545,8 @@ class CrawlEngine:
             )
             .filter(F.col("child_host").isNotNull() & (F.col("child_host") != ""))
         )
+        if self.trap_guard:  # same guard as the in-loop offer stage
+            offers = offers.filter(~U.is_trap_col(F.col("__path")))
         offers = (
             offers.join(
                 F.broadcast(self.hosts_df.select("host", "robots_disallow")),
@@ -970,6 +986,8 @@ class CrawlEngine:
                 # host_py() falsy) so NULL hosts never enter the frontier
                 F.col("child_host").isNotNull() & (F.col("child_host") != "")
             )
+            if self.trap_guard:  # trap-shaped offers never reach seen
+                offers = offers.filter(~U.is_trap_col(F.col("__path")))
             # robots filter BEFORE seen counting (oracle semantics)
             offers = (
                 offers.join(

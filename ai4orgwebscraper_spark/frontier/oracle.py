@@ -27,6 +27,8 @@ from dataclasses import dataclass, field
 from ai4orgwebscraper_spark.functions.urls import (
     canonicalize_py,
     host_py,
+    is_trap_py,
+    path_py,
     resolve_outlink_py,
     url_hash_py,
 )
@@ -88,6 +90,7 @@ def bfs_crawl(
     round_seconds: float = 10.0,
     max_rounds: int = 50,
     rank_scores: dict[str, float] | None = None,
+    trap_guard: bool = False,
 ) -> OracleResult:
     """Extended multi-round crawl spec (dedup + per-host politeness +
     C6 retry/fallback).
@@ -137,6 +140,8 @@ def bfs_crawl(
         canon = canonicalize_py(raw)
         if not canon or not host_py(canon):  # P2 validity twin
             continue
+        if trap_guard and is_trap_py(path_py(canon)):
+            continue  # CrawlEngine(trap_guard=True) seed-intake twin
         res.seen[canon] = res.seen.get(canon, 0) + 1
         if canon not in enqueued:
             enqueued.add(canon)
@@ -231,6 +236,8 @@ def bfs_crawl(
                         cpath = urlparse(child).path or ""
                         if any(cpath.startswith(p) for p in disallow):
                             continue
+                        if trap_guard and is_trap_py(cpath):
+                            continue  # offer-stage twin (before seen)
                         res.seen[child] = res.seen.get(child, 0) + 1
                         if child not in enqueued:
                             enqueued.add(child)

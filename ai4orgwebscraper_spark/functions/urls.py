@@ -292,3 +292,44 @@ def resolve_outlink_py(base_host: str, href: str) -> str:
     if href.startswith("https://"):
         return href
     return f"https://{base_host}/{href.lstrip('/')}"
+
+
+# ---------------------------------------------------------------------------
+# Spider-trap guard (engine extension; no reference twin — the
+# reference crawls fixed 100-URL batches, web_scraper.py:15-28, and
+# can't loop; a 10^10-URL frontier can): reject URLs whose path is
+# pathologically deep or cycles through the same segment — the classic
+# calendar/session-id/symlink-loop signatures (Heritrix calls these
+# "path-ological" URIs). Column expr and pure-Python twin in lockstep,
+# fuzz-pinned in tests/test_urls.py.
+# ---------------------------------------------------------------------------
+
+TRAP_MAX_SEGMENTS = 16  # deeper paths than any sane site hierarchy
+TRAP_MAX_REPEATS = 3  # same segment >3x in one path = a loop
+
+
+def is_trap_col(
+    path_col: Column,
+    max_segments: int = TRAP_MAX_SEGMENTS,
+    max_repeats: int = TRAP_MAX_REPEATS,
+) -> Column:
+    """True when the (already-canonical) path looks like a crawler
+    trap. In-row only — O(k^2) over k path segments, k <= a few dozen,
+    so the guard costs no shuffle and no UDF."""
+    segs = F.filter(F.split(path_col, "/"), lambda s: s != "")
+    too_deep = F.size(segs) > max_segments
+    looping = F.exists(
+        segs, lambda s: F.size(F.filter(segs, lambda x: x == s)) > max_repeats
+    )
+    return too_deep | looping
+
+
+def is_trap_py(
+    path: str,
+    max_segments: int = TRAP_MAX_SEGMENTS,
+    max_repeats: int = TRAP_MAX_REPEATS,
+) -> bool:
+    segs = [s for s in (path or "").split("/") if s]
+    if len(segs) > max_segments:
+        return True
+    return any(segs.count(s) > max_repeats for s in set(segs))

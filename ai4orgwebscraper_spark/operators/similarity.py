@@ -599,3 +599,125 @@ ORACLES["q_knn_ivf_learned_multiprobe"] = f"""
     WHERE a.vec_id <> {QUERY_VEC_ID}
     ORDER BY cosine DESC, a.vec_id LIMIT {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup over LEARNED k-means clusters (Abbas et al.
+# 2023, "SemDeDup: Data-efficient learning at web-scale through
+# semantic deduplication"): train a coarse quantizer, then within each
+# cluster drop every vector that has a cosine-near neighbor, keeping
+# one representative per near-dup group. Composes the suite's own
+# pieces: clustering.kmeans for training (1-row-per-centroid driver
+# model state), _cosine for the exact pass.
+#
+# Determinism: the paper keeps the vector farthest from the centroid;
+# here the keeper is the SMALLEST vec_id among near neighbors (a
+# vector is dropped iff some SMALLER-id vector in its cluster is
+# within tau) — RNG-free, order-free, and identical in both engines.
+# The pairwise pass is exact but CLUSTER-BLOCKED: at 10^10 rows k
+# scales with the corpus (SemDeDup uses ~10^5 clusters for ~10^8
+# docs) so each block stays ~10^3-10^4 vectors and the quadratic
+# never sees the full corpus; k=10 here only because the fixture is
+# small. Because k is FIXED while the fixture scales, clusters above
+# SEMDEDUP_MAX_BLOCK skip the pairwise pass entirely and report
+# capped=true (same junk-block rationale as MAX_BLOCK above —
+# measured before the cap: the sf1 sweep's 2k-vector clusters cost
+# 845s Spark / 322s DuckDB on the ~20M-pair quadratic; a production
+# deployment raises k, not the cap). Threshold compares use the raw
+# double (un-rounded) exactly like q_embedding_neardup — both engines
+# fold the dot product in index order, so the comparison is
+# bit-identical.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.45
+SEMDEDUP_MAX_BLOCK = 1024
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup audit: vectors seen / dropped / kept and
+    the max in-cluster pairwise cosine. Oracle = unrolled Lloyd CTE
+    (afinal) + the same pair rule in SQL."""
+    from ai4orgwebscraper_spark.operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, cents = kmeans(emb)
+    if not cents:
+        return spark.createDataFrame(
+            [],
+            "cluster bigint, n_vectors bigint, n_dropped bigint, "
+            "n_kept bigint, max_cos double, capped boolean",
+        )
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("csize"))
+    small = sizes.filter(F.col("csize") <= SEMDEDUP_MAX_BLOCK).select("cluster")
+    a = assigned.join(F.broadcast(small), "cluster").select(
+        "cluster", "vec_id", "embedding"
+    )
+    x, y = a.alias("x"), a.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.cluster") == F.col("y.cluster"))
+        & (F.col("x.vec_id") > F.col("y.vec_id")),
+    ).select(
+        F.col("x.cluster").alias("cluster"),
+        F.col("x.vec_id").alias("vec_id"),
+        _cosine(F.col("x.embedding"), F.col("y.embedding")).alias("cos"),
+    )
+    dropped = (
+        pairs.filter(F.col("cos") >= SEMDEDUP_TAU)
+        .select("cluster", "vec_id")
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    cstats = (
+        assigned.join(dropped, ["cluster", "vec_id"], "left")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))).alias("n_dropped"),
+        )
+    )
+    pstats = pairs.groupBy("cluster").agg(F.round(F.max("cos"), 3).alias("max_cos"))
+    return (
+        cstats.join(pstats, "cluster", "left")
+        .join(sizes, "cluster")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_vectors",
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+            (F.col("n_vectors") - F.col("n_dropped")).cast("long").alias("n_kept"),
+            "max_cos",
+            (F.col("csize") > SEMDEDUP_MAX_BLOCK).alias("capped"),
+        )
+        .orderBy("cluster")
+    )
+
+
+QUERIES["q_semantic_dedup"] = q_semantic_dedup
+
+ORACLES["q_semantic_dedup"] = f"""
+    {kmeans_oracle_cte()},
+    sizes AS (SELECT cluster, count(*) AS csize FROM afinal GROUP BY cluster),
+    small AS (SELECT cluster FROM sizes WHERE csize <= {SEMDEDUP_MAX_BLOCK}),
+    p AS (
+        SELECT x.cluster AS cluster, x.vec_id AS vec_id,
+               {_cos_sql("x.embedding", "y.embedding")} AS cos
+        FROM afinal x JOIN small s ON x.cluster = s.cluster
+        JOIN afinal y
+          ON x.cluster = y.cluster AND x.vec_id > y.vec_id
+    ),
+    d AS (SELECT DISTINCT cluster, vec_id FROM p WHERE cos >= {SEMDEDUP_TAU}),
+    cstats AS (
+        SELECT a.cluster, count(*) AS n_vectors,
+               CAST(count(d.vec_id) AS BIGINT) AS n_dropped
+        FROM afinal a LEFT JOIN d
+          ON a.cluster = d.cluster AND a.vec_id = d.vec_id
+        GROUP BY a.cluster
+    ),
+    pstats AS (SELECT cluster, round(max(cos), 3) AS max_cos FROM p GROUP BY cluster)
+    SELECT CAST(c.cluster AS BIGINT) AS cluster, c.n_vectors, c.n_dropped,
+           CAST(c.n_vectors - c.n_dropped AS BIGINT) AS n_kept, p.max_cos,
+           s.csize > {SEMDEDUP_MAX_BLOCK} AS capped
+    FROM cstats c LEFT JOIN pstats p ON c.cluster = p.cluster
+    JOIN sizes s ON c.cluster = s.cluster
+    ORDER BY cluster
+"""

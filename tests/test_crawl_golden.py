@@ -314,3 +314,70 @@ def test_bfs_rank_weighted_priority_matches_oracle(spark):
     got_order = [t[1] for t in got_rows]
     assert sorted(got_order) == sorted(base_order)  # same URL set
     assert got_order != base_order
+
+
+# ---------------------------------------------------------------------------
+# spider-trap guard (engine extension: urls.is_trap_col / is_trap_py)
+# ---------------------------------------------------------------------------
+
+TRAP_DEEP = "https://trap.example/" + "/".join(f"d{i}" for i in range(20))
+TRAP_LOOP = "https://trap.example/a/b/a/b/a/b/a"
+OK_DEEP = "https://trap.example/" + "/".join(f"k{i}" for i in range(16))
+OK_REP = "https://trap.example/a/x/a/y/a"
+
+
+def test_bfs_trap_guard_matches_oracle_and_excludes_traps(spark):
+    """Guard ON: engine == oracle exactly (order, rounds, timestamps)
+    with trap seeds planted among real ones; trap URLs never fetched,
+    boundary-legal URLs still fetched."""
+    from ai4orgwebscraper_spark.functions.urls import canonicalize_py
+
+    seeds = seed_urls(20) + [TRAP_DEEP, TRAP_LOOP, OK_DEEP, OK_REP]
+    hosts = default_hosts()
+    oracle = bfs_crawl(
+        seeds, hosts, max_depth=1, round_seconds=10.0, max_rounds=50,
+        trap_guard=True,
+    )
+    engine = CrawlEngine(
+        spark, hosts=hosts, max_depth=1, round_seconds=10.0, max_rounds=50,
+        trap_guard=True,
+    )
+    out = engine.run(engine.seeds_from_list(seeds))
+    log = out.fetch_log.orderBy("seq").collect()
+    assert [(r["url"], r["round"], r["fetched_at_ms"]) for r in log] == [
+        (r["url"], r["round"], r["fetched_at_ms"]) for r in oracle.fetch_log
+    ]
+    fetched = {r["url"] for r in log}
+    assert canonicalize_py(TRAP_DEEP) not in fetched
+    assert canonicalize_py(TRAP_LOOP) not in fetched
+    assert canonicalize_py(OK_DEEP) in fetched
+    assert canonicalize_py(OK_REP) in fetched
+    # seen-set parity includes the exclusions (traps rejected BEFORE
+    # seen counting in both engines)
+    got = {r["url"]: r["multiplicity"] for r in out.seen.collect()}
+    assert got == oracle.seen
+    assert canonicalize_py(TRAP_DEEP) not in got
+    engine.close()
+
+
+def test_bfs_trap_guard_off_fetches_traps(spark):
+    """Inclusion control: with the guard OFF the same trap seeds ARE
+    crawled, in engine-oracle lockstep — the guard is the only thing
+    standing between them and the frontier."""
+    from ai4orgwebscraper_spark.functions.urls import canonicalize_py
+
+    seeds = [TRAP_DEEP, TRAP_LOOP, OK_DEEP, OK_REP]
+    hosts = default_hosts()
+    oracle = bfs_crawl(seeds, hosts, max_depth=0, round_seconds=10.0, max_rounds=10)
+    engine = CrawlEngine(
+        spark, hosts=hosts, max_depth=0, round_seconds=10.0, max_rounds=10,
+    )
+    out = engine.run(engine.seeds_from_list(seeds))
+    log = out.fetch_log.orderBy("seq").collect()
+    assert [(r["url"], r["fetched_at_ms"]) for r in log] == [
+        (r["url"], r["fetched_at_ms"]) for r in oracle.fetch_log
+    ]
+    fetched = {r["url"] for r in log}
+    assert canonicalize_py(TRAP_DEEP) in fetched
+    assert canonicalize_py(TRAP_LOOP) in fetched
+    engine.close()

@@ -88,6 +88,9 @@ def test_all_oracle_query_plans_free_of_scale_antipatterns(spark):
         # array (clustering._assign) — intentional cross join
         "kmeans_embeddings", "q_knn_ivf_learned",
         "q_knn_ivf_learned_multiprobe",
+        # SemDeDup trains its coarse quantizer through the same
+        # broadcast-centroid kmeans assignment
+        "q_semantic_dedup",
     }
     # streaming queries execute eagerly inside; crawl entries are not
     # single DataFrames

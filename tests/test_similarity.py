@@ -115,3 +115,60 @@ def test_lsh_multiprobe_recall_beats_single_bucket(spark):
     r_multi = len(multi & truth) / len(truth)
     assert r_multi >= 0.4  # deterministic fixture: measured 0.4
     assert r_multi > r_single
+
+
+def test_semantic_dedup_matches_twin_and_drops_planted(spark, planted_sf):
+    """SemDeDup twin: kmeans_py clusters + python cosine reproduce the
+    operator's per-cluster audit exactly; the planted near-identical
+    pair (vec 0 / vec 1) must produce at least one drop."""
+    import math
+    from collections import defaultdict
+
+    from ai4orgwebscraper_spark.operators.clustering import ITERATIONS, K, kmeans_py
+    from ai4orgwebscraper_spark.operators.similarity import (
+        SEMDEDUP_TAU,
+        q_semantic_dedup,
+    )
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(planted_sf + "/embeddings.parquet").collect()
+    }
+    assign, _ = kmeans_py(emb, K, ITERATIONS)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb)
+
+    clusters = defaultdict(list)
+    for vid, c in assign.items():
+        clusters[c].append(vid)
+    exp = {}
+    for c, vids in clusters.items():
+        vids = sorted(vids)
+        dropped, maxc = set(), None
+        for i, vb in enumerate(vids):
+            for va in vids[:i]:
+                cv = cos(emb[va], emb[vb])
+                maxc = cv if maxc is None else max(maxc, cv)
+                if cv >= SEMDEDUP_TAU:
+                    dropped.add(vb)
+        exp[c] = (len(vids), len(dropped), len(vids) - len(dropped),
+                  None if maxc is None else round(maxc, 3))
+    got = {r["cluster"]: r for r in q_semantic_dedup(spark, planted_sf).collect()}
+    assert set(got) == set(exp)
+    for c, (nv, nd, nk, mc) in exp.items():
+        g = got[c]
+        assert (g["n_vectors"], g["n_dropped"], g["n_kept"]) == (nv, nd, nk), c
+        if mc is None:
+            assert g["max_cos"] is None
+        else:
+            assert abs(g["max_cos"] - mc) <= 0.0011
+    # the planted near-identical pair is a semantic duplicate: exactly
+    # the case SemDeDup exists for — somebody must get dropped
+    assert sum(nd for _, nd, _, _ in exp.values()) >= 1
+    assert sum(r["n_dropped"] for r in got.values()) >= 1
+    # 40-vector fixture: no cluster near SEMDEDUP_MAX_BLOCK
+    assert not any(r["capped"] for r in got.values())

@@ -167,3 +167,39 @@ def test_host_parity_fuzz_including_malformed(spark):
         if (U.host_py(r["url"]) or None) != (r["h"] or None)
     ]
     assert not bad, bad[:10]
+
+
+def test_trap_guard_parity_fuzz(spark):
+    """is_trap_col == is_trap_py over deep/looping/benign paths,
+    including the exact boundary cases (16 segments kept, 17 dropped;
+    3 repeats kept, 4 dropped)."""
+    from pyspark.sql import functions as F
+
+    from ai4orgwebscraper_spark.functions.urls import is_trap_col, is_trap_py
+
+    paths = [
+        "",
+        "/",
+        "/a",
+        "/a/b/c",
+        "/" + "/".join(f"d{i}" for i in range(16)),  # boundary: kept
+        "/" + "/".join(f"d{i}" for i in range(17)),  # too deep
+        "/a/b/a/c/a",  # 3x 'a': kept
+        "/a/b/a/c/a/a",  # 4x 'a': loop
+        "/x//y///x",  # empty segments ignored
+        "/cal/2024/01/cal/2024/02/cal/2024/03/cal",  # 4x 'cal'
+        "/p/abc123",
+        "/wiki/A/wiki/B/wiki/C/wiki/D",  # 4x 'wiki'
+    ]
+    # deterministic pseudo-random paths (no RNG — seeded arithmetic)
+    segs = ["a", "b", "c", "dir", "page", "x1"]
+    for seed in range(60):
+        n = (seed * 7) % 22
+        paths.append("/" + "/".join(segs[(seed * 13 + i * 5) % len(segs)] for i in range(n)))
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    got = {
+        r["path"]: r["trap"]
+        for r in df.select("path", is_trap_col(F.col("path")).alias("trap")).collect()
+    }
+    for p in paths:
+        assert got[p] == is_trap_py(p), p
