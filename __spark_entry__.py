@@ -86,6 +86,27 @@ def _crawl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crawl_spans_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: interleave-preserving cross-document span dedup over
+    the flagship payload — text spans keep their globally-first
+    occurrence, media_ref spans always survive, offsets re-densified
+    (boilerplate removal a 100 TB crawl corpus needs before training).
+    Exploded to scalar rows for the driver's canonicalizer; exact twin
+    parity vs the normative oracle in tests/test_crawl_analytics.py."""
+    from pyspark.sql import functions as F
+
+    from ai4orgwebscraper_spark.operators import crawl_analytics as CA
+
+    cleaned = CA.spans_dedup(_reference_outputs(spark).documents)
+    return cleaned.select("doc_id", F.explode("spans").alias("span")).select(
+        "doc_id",
+        F.col("span.offset").alias("offset"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+    )
+
+
 def _crawl_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: A1 word-frequency top-30 over the crawl's interleaved
     span documents (reference app.py:125-155 analytics panel). Exact
@@ -341,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["crawl_internal_external"] = _crawl_internal_external
     out["crawl_status_breakdown"] = _crawl_status_breakdown
     out["crawl_pagerank"] = _crawl_pagerank
+    out["crawl_spans_dedup"] = _crawl_spans_dedup
     out["streaming_seed_ingestion"] = _streaming_seed_ingestion
     out["multimodal_decode"] = _multimodal_decode
     out["multimodal_knn"] = _multimodal_knn

@@ -109,3 +109,101 @@ def status_breakdown(fetch_log: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n"), F.count(F.when(F.col("error").isNotNull(), 1)).alias("n_errors"))
         .orderBy("host", "status")
     )
+
+
+def spans_dedup(documents: DataFrame) -> DataFrame:
+    """Interleave-preserving cross-document span dedup over the
+    flagship payload (doc_id, spans array<struct<kind,text,media_ref,
+    offset>>): every TEXT span keeps only its globally-first
+    occurrence — min (doc_id, offset) per exact text, the boilerplate
+    rule of q_dedup_segments lifted to span granularity — while
+    media_ref spans are never dropped (they have no cross-page
+    boilerplate semantics; their identity is the asset, not the alt
+    text). Survivors are re-offset densely (0..n-1) in original
+    document order, so the output is again a valid interleaved
+    sequence. Pure-Python twin: spans_dedup_py (tested against the
+    normative crawl oracle's spans in tests/test_crawl_analytics.py).
+
+    Scale shape (same family as q_dedup_segments, dedup.py:573-583):
+    one corpus-scale explode, one groupBy span_hash (map-side combined
+    min) for the keeper table, one shuffle join back on span_hash —
+    groupBy+join rather than a row_number window because a boilerplate
+    span duplicated 10^6 times is a HOT key and AQE skew-join can
+    split the join's straggler partition while a window's hot
+    partition cannot be split — then one groupBy doc_id bounded by
+    document size to reassemble. Keys are md5(text) in BOTH engines,
+    so even a hash collision (merging two distinct texts' groups)
+    cannot diverge the twin."""
+    ex = documents.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    keepers = (
+        ex.filter(F.col("kind") == "text")
+        .groupBy(F.md5(F.coalesce("text", F.lit(""))).alias("span_hash"))
+        .agg(F.min(F.struct("doc_id", "offset")).alias("keep"))
+    )
+    kept = (
+        ex.withColumn(
+            "span_hash",
+            F.when(F.col("kind") == "text", F.md5(F.coalesce("text", F.lit("")))),
+        )
+        .join(keepers, "span_hash", "left")
+        .filter(
+            (F.col("kind") != "text")
+            | (
+                (F.col("keep.doc_id") == F.col("doc_id"))
+                & (F.col("keep.offset") == F.col("offset"))
+            )
+        )
+        .drop("span_hash", "keep")
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            ).alias("ss")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.col("ss"),
+                lambda x, i: F.struct(
+                    x["kind"].alias("kind"),
+                    x["text"].alias("text"),
+                    x["media_ref"].alias("media_ref"),
+                    i.cast("int").alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )
+
+
+def spans_dedup_py(spans_by_doc: dict[str, list[tuple]]) -> dict[str, list[tuple]]:
+    """Normative twin of spans_dedup over the oracle's spans dict
+    {doc_id: [(kind, text, media_ref, offset), ...]}. Iterating docs
+    in sorted doc_id order and spans in offset order IS the
+    min-(doc_id, offset) keeper rule. Docs whose every span is dropped
+    disappear (the engine's groupBy reassembly emits no row)."""
+    import hashlib
+
+    seen: set[str] = set()
+    out: dict[str, list[tuple]] = {}
+    for doc_id in sorted(spans_by_doc):
+        cleaned: list[tuple] = []
+        for kind, text, media_ref, _off in sorted(
+            spans_by_doc[doc_id], key=lambda s: s[3]
+        ):
+            if kind == "text":
+                h = hashlib.md5((text or "").encode()).hexdigest()
+                if h in seen:
+                    continue
+                seen.add(h)
+            cleaned.append((kind, text, media_ref, len(cleaned)))
+        if cleaned:
+            out[doc_id] = cleaned
+    return out

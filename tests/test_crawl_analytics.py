@@ -106,3 +106,32 @@ def test_status_breakdown(crawl):
     assert {k: v[0] for k, v in got.items()} == dict(want)
     for (host, status), (n, n_err) in got.items():
         assert n_err == (n if status != 200 else 0)
+
+
+def test_spans_dedup_matches_twin_and_preserves_interleave(crawl):
+    """spans_dedup == spans_dedup_py over the normative oracle's spans
+    (exact per-doc sequences), drops at least one cross-doc duplicate
+    on the phrase-pool corpus, keeps every media_ref, and re-offsets
+    densely."""
+    out, oracle = crawl
+    want = CA.spans_dedup_py(oracle.spans)
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in CA.spans_dedup(out.documents).collect()
+    }
+    assert got == want
+    n_before = sum(len(v) for v in oracle.spans.values())
+    n_after = sum(len(v) for v in want.values())
+    assert n_after < n_before  # the phrase pool guarantees cross-doc dups
+    media_before = sum(
+        1 for v in oracle.spans.values() for s in v if s[0] == "media_ref"
+    )
+    media_after = sum(1 for v in want.values() for s in v if s[0] == "media_ref")
+    assert media_after == media_before  # media spans never dropped
+    for v in got.values():
+        assert [s[3] for s in v] == list(range(len(v)))  # dense offsets
+    # every surviving text appears exactly once corpus-wide
+    texts = [s[1] for v in got.values() for s in v if s[0] == "text"]
+    assert len(texts) == len(set(texts))
