@@ -336,3 +336,41 @@ def test_fetch_depths_incremental_state_matches_log(spark):
         assert state[h][0] <= d, h
         relaxed += state[h][0] < d
     assert relaxed >= 1  # the promoted seed really was relaxed
+
+
+def test_carry_composes_with_trap_guard(spark):
+    """Engine-extension composition: a trap-guarded wave-1 run carried
+    into a trap-guarded wave 2 (whose seeds INCLUDE trap URLs) must
+    equal one trap-guarded batch BFS over the concatenated waves —
+    traps never enter the frontier in either path, boundary-legal URLs
+    do, and seen multiplicities agree."""
+    from ai4orgwebscraper_spark.functions.urls import canonicalize_py
+
+    trap_deep = "https://trap.example/" + "/".join(f"d{i}" for i in range(20))
+    ok_rep = "https://trap.example/a/x/a/y/a"
+    all_seeds = seed_urls(40)
+    seeds1, seeds2 = all_seeds[:15], all_seeds[25:35] + [trap_deep, ok_rep]
+    hosts = default_hosts()
+    e1 = CrawlEngine(spark, hosts=hosts, max_depth=1, max_rounds=30, trap_guard=True)
+    out1 = e1.run(e1.seeds_from_list(seeds1))
+    e2 = CrawlEngine(spark, hosts=hosts, max_depth=1, max_rounds=30, trap_guard=True)
+    out2 = e2.run(e2.seeds_from_list(seeds2), carry=out1)
+
+    batch = CrawlEngine(
+        spark, hosts=hosts, max_depth=1, max_rounds=30, trap_guard=True
+    )
+    want_out = batch.run(batch.seeds_from_list(seeds1 + seeds2))
+
+    def key(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["url_hash"], []).append((r["status"], r["title"]))
+        return {k: sorted(v) for k, v in out.items()}
+
+    assert key(out2.fetch_log.collect()) == key(want_out.fetch_log.collect())
+    got_seen = {(r["url"], r["multiplicity"]) for r in out2.seen.collect()}
+    want_seen = {(r["url"], r["multiplicity"]) for r in want_out.seen.collect()}
+    assert got_seen == want_seen
+    fetched = {r["url"] for r in out2.fetch_log.collect()}
+    assert canonicalize_py(trap_deep) not in fetched
+    assert canonicalize_py(ok_rep) in fetched

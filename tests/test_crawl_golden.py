@@ -381,3 +381,42 @@ def test_bfs_trap_guard_off_fetches_traps(spark):
     assert canonicalize_py(TRAP_DEEP) in fetched
     assert canonicalize_py(TRAP_LOOP) in fetched
     engine.close()
+
+
+def test_bfs_trap_guard_composes_with_rank_scores(spark):
+    """Engine-extension composition: trap_guard AND rank-weighted
+    priority active in the SAME run stay in engine==oracle lockstep —
+    traps rejected at intake, surviving frontier ordered by the
+    quantized rank score. Features built separately must not interact
+    through the frontier plan."""
+    from ai4orgwebscraper_spark.functions.urls import canonicalize_py, url_hash_py
+
+    seeds = seed_urls(20) + [TRAP_DEEP, TRAP_LOOP, OK_REP]
+    hosts = default_hosts()
+    # deterministic synthetic scores keyed off the url_hash hex — no
+    # second crawl needed; any score table exercises the ordering
+    scores = {
+        url_hash_py(canonicalize_py(u)): (int(url_hash_py(canonicalize_py(u))[:4], 16) % 97) / 97.0
+        for u in seeds
+        if canonicalize_py(u)
+    }
+    oracle = bfs_crawl(
+        seeds, hosts, max_depth=1, round_seconds=10.0, max_rounds=50,
+        rank_scores=scores, trap_guard=True,
+    )
+    scored_df = spark.createDataFrame(
+        list(scores.items()), "url_hash string, score double"
+    )
+    engine = CrawlEngine(
+        spark, hosts=hosts, max_depth=1, round_seconds=10.0, max_rounds=50,
+        rank_scores=scored_df, rank_scores_tag="synth_v1", trap_guard=True,
+    )
+    out = engine.run(engine.seeds_from_list(seeds))
+    log = out.fetch_log.orderBy("seq").collect()
+    assert [(r["url"], r["round"], r["fetched_at_ms"]) for r in log] == [
+        (r["url"], r["round"], r["fetched_at_ms"]) for r in oracle.fetch_log
+    ]
+    fetched = {r["url"] for r in log}
+    assert canonicalize_py(TRAP_DEEP) not in fetched
+    assert canonicalize_py(OK_REP) in fetched
+    engine.close()
