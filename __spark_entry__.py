@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_part_nested_detail — checked green in CORRECTNESS_r01..r04)
     # rotate out to keep the window at 50.
     deferred = [
+        "q_supplier_part_join",
         "q_top_parts_per_brand",
         "q_events_percentiles",
         "q_events_cube",

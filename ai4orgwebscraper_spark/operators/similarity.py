@@ -721,3 +721,91 @@ ORACLES["q_semantic_dedup"] = f"""
     JOIN sizes s ON c.cluster = s.cluster
     ORDER BY cluster
 """
+
+
+def q_semantic_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup pipeline's LAST stage (symmetric with
+    q_dedup_materialize, dedup.py:483): act on the per-vector drop
+    decisions — embeddings are document embeddings (vec_id == doc_id
+    in the fixtures), so join the decisions onto `documents` and
+    report kept/dropped volume per source, the number a training-data
+    pipeline actually deletes by. Same cluster-blocked pair rule and
+    SEMDEDUP_MAX_BLOCK cap as q_semantic_dedup (capped clusters drop
+    nothing — at production scale k grows with the corpus instead).
+
+    Scale: decisions are |embeddings| rows keyed by vec_id; the doc
+    join is one co-keyed shuffle join + a 20-row source rollup."""
+    from ai4orgwebscraper_spark.operators.clustering import kmeans
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, cents = kmeans(emb)
+    if not cents:
+        return spark.createDataFrame(
+            [],
+            "source string, n_docs bigint, n_kept bigint, "
+            "chars_kept bigint, chars_dropped bigint",
+        )
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("csize"))
+    small = sizes.filter(F.col("csize") <= SEMDEDUP_MAX_BLOCK).select("cluster")
+    a = assigned.join(F.broadcast(small), "cluster").select(
+        "cluster", "vec_id", "embedding"
+    )
+    x, y = a.alias("x"), a.alias("y")
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.vec_id") > F.col("y.vec_id")),
+        )
+        .filter(
+            _cosine(F.col("x.embedding"), F.col("y.embedding")) >= SEMDEDUP_TAU
+        )
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    keep = F.coalesce(F.col("is_dropped"), F.lit(0)) == 0
+    return (
+        docs.join(dropped, docs["doc_id"] == dropped["vec_id"], "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.coalesce(F.sum(F.when(keep, F.col("n_chars"))), F.lit(0))
+            .cast("long")
+            .alias("chars_kept"),
+            F.coalesce(F.sum(F.when(~keep, F.col("n_chars"))), F.lit(0))
+            .cast("long")
+            .alias("chars_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q_semantic_materialize"] = q_semantic_materialize
+
+ORACLES["q_semantic_materialize"] = f"""
+    {kmeans_oracle_cte()},
+    sizes AS (SELECT cluster, count(*) AS csize FROM afinal GROUP BY cluster),
+    small AS (SELECT cluster FROM sizes WHERE csize <= {SEMDEDUP_MAX_BLOCK}),
+    d AS (
+        SELECT DISTINCT x.vec_id
+        FROM afinal x JOIN small s ON x.cluster = s.cluster
+        JOIN afinal y
+          ON x.cluster = y.cluster AND x.vec_id > y.vec_id
+        WHERE {_cos_sql("x.embedding", "y.embedding")} >= {SEMDEDUP_TAU}
+    )
+    SELECT doc.source AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (d.vec_id IS NULL) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(doc.n_chars) FILTER (d.vec_id IS NULL), 0) AS BIGINT)
+               AS chars_kept,
+           CAST(coalesce(sum(doc.n_chars) FILTER (d.vec_id IS NOT NULL), 0) AS BIGINT)
+               AS chars_dropped
+    FROM documents doc LEFT JOIN d ON doc.doc_id = d.vec_id
+    GROUP BY doc.source
+    ORDER BY source
+"""

@@ -42,6 +42,7 @@ def test_every_query_is_registered():
         "crawl_internal_external",
         "crawl_status_breakdown",
         "crawl_pagerank",
+        "crawl_spans_dedup",
         "streaming_seed_ingestion",
         "multimodal_decode",
         "multimodal_knn",

@@ -90,7 +90,7 @@ def test_all_oracle_query_plans_free_of_scale_antipatterns(spark):
         "q_knn_ivf_learned_multiprobe",
         # SemDeDup trains its coarse quantizer through the same
         # broadcast-centroid kmeans assignment
-        "q_semantic_dedup",
+        "q_semantic_dedup", "q_semantic_materialize",
     }
     # streaming queries execute eagerly inside; crawl entries are not
     # single DataFrames

@@ -172,3 +172,70 @@ def test_semantic_dedup_matches_twin_and_drops_planted(spark, planted_sf):
     assert sum(r["n_dropped"] for r in got.values()) >= 1
     # 40-vector fixture: no cluster near SEMDEDUP_MAX_BLOCK
     assert not any(r["capped"] for r in got.values())
+
+
+def test_semantic_materialize_matches_twin_and_audit_totals(spark):
+    """q_semantic_materialize == a pure-Python twin (kmeans_py +
+    cosine + per-source rollup over the sf0.001 documents), and its
+    total drop count equals the q_semantic_dedup audit's."""
+    import math
+    from collections import defaultdict
+
+    from ai4orgwebscraper_spark.operators.clustering import ITERATIONS, K, kmeans_py
+    from ai4orgwebscraper_spark.operators.similarity import (
+        SEMDEDUP_MAX_BLOCK,
+        SEMDEDUP_TAU,
+        q_semantic_dedup,
+        q_semantic_materialize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(sf + "/embeddings.parquet").collect()
+    }
+    docs = {
+        r["doc_id"]: (r["source"], r["n_chars"])
+        for r in spark.read.parquet(sf + "/documents.parquet").collect()
+    }
+    assign, _ = kmeans_py(emb, K, ITERATIONS)
+    clusters = defaultdict(list)
+    for vid, c in assign.items():
+        clusters[c].append(vid)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    dropped = set()
+    for vids in clusters.values():
+        vids = sorted(vids)
+        if len(vids) > SEMDEDUP_MAX_BLOCK:
+            continue  # capped cluster: drops nothing
+        for i, vb in enumerate(vids):
+            if any(cos(emb[va], emb[vb]) >= SEMDEDUP_TAU for va in vids[:i]):
+                dropped.add(vb)
+    exp = defaultdict(lambda: [0, 0, 0, 0])  # n_docs, n_kept, ck, cd
+    for doc_id, (source, n_chars) in docs.items():
+        e = exp[source]
+        e[0] += 1
+        if doc_id in dropped:
+            e[3] += n_chars
+        else:
+            e[1] += 1
+            e[2] += n_chars
+    got = {r["source"]: r for r in q_semantic_materialize(spark, sf).collect()}
+    assert set(got) == set(exp)
+    for s, (nd, nk, ck, cd) in exp.items():
+        g = got[s]
+        assert (g["n_docs"], g["n_kept"], g["chars_kept"], g["chars_dropped"]) == (
+            nd, nk, ck, cd,
+        ), s
+    audit_drops = sum(
+        r["n_dropped"] for r in q_semantic_dedup(spark, sf).collect()
+    )
+    assert audit_drops == len(dropped) == sum(
+        e[0] - e[1] for e in exp.values()
+    )
