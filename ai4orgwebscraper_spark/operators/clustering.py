@@ -128,6 +128,34 @@ def kmeans(
     return _assign(vectors, cents), cents
 
 
+_TRAINED_MEMO: dict[tuple, list[list[float]]] = {}
+
+
+def trained_kmeans(
+    spark: SparkSession, sf_dir: str, k: int = K, iterations: int = ITERATIONS
+) -> tuple[DataFrame, list[list[float]]]:
+    """Train-once semantics for the coarse quantizer: the IVF/SemDeDup
+    family shares ONE trained model per (session, table) — the
+    production shape (the quantizer is a build artifact; queries only
+    assign against it, PLANS.md describes the plans accordingly), and
+    what keeps a 5-query driver run from paying 5 identical Lloyd
+    trainings. Deterministic: the memo returns the exact floats the
+    training produced, so every consumer (and the unrolled DuckDB
+    oracle CTE) sees identical centroids."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    key = (id(spark), os.path.abspath(sf_dir), k, iterations)
+    if key in _TRAINED_MEMO:
+        cents = _TRAINED_MEMO[key]
+        if not cents:
+            return emb.limit(0).withColumn("cluster", F.lit(0)), []
+        return _assign(emb, cents), cents
+    assigned, cents = kmeans(emb, k, iterations)
+    _TRAINED_MEMO[key] = cents
+    return assigned, cents
+
+
 def kmeans_py(
     vecs: dict[int, list[float]], k: int = K, iterations: int = ITERATIONS
 ) -> tuple[dict[int, int], list[list[float]]]:
@@ -165,8 +193,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB (kmeans_oracle_cte below — VERDICT r03 missing #2); exact
     twin parity on planted separated clusters in
     tests/test_clustering.py."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assigned, cents = kmeans(emb)
+    assigned, cents = trained_kmeans(spark, sf_dir)
     if not cents:
         return spark.createDataFrame(
             [], "cluster bigint, n_vectors bigint, avg_dist double"

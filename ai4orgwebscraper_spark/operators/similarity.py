@@ -270,10 +270,9 @@ def q_knn_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unrolled Lloyd CTE chain (clustering.kmeans_oracle_cte) with
     the probe on top (VERDICT r03 missing #2); recall-vs-bruteforce
     sanity is pinned in tests/test_similarity.py."""
-    from ai4orgwebscraper_spark.operators.clustering import kmeans
+    from ai4orgwebscraper_spark.operators.clustering import trained_kmeans
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assigned, _cents = kmeans(emb)
+    assigned, _cents = trained_kmeans(spark, sf_dir)
     query = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("query_vec"), F.col("cluster").alias("query_cluster")
     )
@@ -533,11 +532,11 @@ def q_knn_ivf_learned_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai4orgwebscraper_spark.operators.clustering import (
         _cents_df,
         _d2,
-        kmeans,
+        trained_kmeans,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assigned, cents = kmeans(emb)
+    assigned, cents = trained_kmeans(spark, sf_dir)
     packed = _cents_df(spark, cents).agg(
         F.collect_list(F.struct("cluster", "cent_vec")).alias("cents")
     )
@@ -637,10 +636,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster SemDeDup audit: vectors seen / dropped / kept and
     the max in-cluster pairwise cosine. Oracle = unrolled Lloyd CTE
     (afinal) + the same pair rule in SQL."""
-    from ai4orgwebscraper_spark.operators.clustering import kmeans
+    from ai4orgwebscraper_spark.operators.clustering import trained_kmeans
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assigned, cents = kmeans(emb)
+    assigned, cents = trained_kmeans(spark, sf_dir)
     if not cents:
         return spark.createDataFrame(
             [],
@@ -735,13 +733,12 @@ def q_semantic_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: decisions are |embeddings| rows keyed by vec_id; the doc
     join is one co-keyed shuffle join + a 20-row source rollup."""
-    from ai4orgwebscraper_spark.operators.clustering import kmeans
+    from ai4orgwebscraper_spark.operators.clustering import trained_kmeans
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assigned, cents = kmeans(emb)
+    assigned, cents = trained_kmeans(spark, sf_dir)
     if not cents:
         return spark.createDataFrame(
             [],
