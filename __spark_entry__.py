@@ -318,12 +318,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deferring). After r5 records, every oracled query has at least
     # one CORRECTNESS round row.
     #
-    # r5 late additions (segment dedup, BPE, DSIR selection, SemDeDup)
-    # also go in-window; four more 3-4x-green stable entries
+    # r5 late additions (segment dedup, BPE, DSIR selection, SemDeDup,
+    # incremental dedup, CCNet quality buckets, any-offset dup spans)
+    # also go in-window; seven more 3-4x-green stable entries
     # (q_top_parts_per_brand, q_events_percentiles, q_events_cube,
-    # q_part_nested_detail — checked green in CORRECTNESS_r01..r04)
-    # rotate out to keep the window at 50.
+    # q_part_nested_detail, q_events_props_json, q_events_sessionized,
+    # q_token_counts — checked green in CORRECTNESS_r01..r04) rotate
+    # out to keep the window at 50.
     deferred = [
+        "q_events_props_json",
+        "q_events_sessionized",
+        "q_token_counts",
         "q_supplier_part_join",
         "q_top_parts_per_brand",
         "q_events_percentiles",

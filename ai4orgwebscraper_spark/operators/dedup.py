@@ -654,6 +654,223 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental-dedup fingerprint granularity: md5 of the first
+# FP_PREFIX_TOKENS tokens. A lead-prefix key (vs the full-content
+# fingerprint of q_dedup_exact) models the duplicate class an
+# incremental crawl actually meets — re-crawled pages whose lead
+# paragraph/boilerplate is byte-stable while the tail churns (ads,
+# timestamps) — and it is the granularity at which the synthetic
+# fixtures carry real cross-batch duplicates at every SF.
+FP_PREFIX_TOKENS = 20
+
+
+def incremental_dedup(history_fp: DataFrame, delta: DataFrame) -> DataFrame:
+    """Classify each doc of a new crawl batch against a historical
+    fingerprint store WITHOUT reprocessing history — the production
+    incremental-ingest pattern: the store is the persisted output of
+    all prior batches; each new batch only joins INTO it.
+
+    ``history_fp``: one column ``fingerprint``, UNIQUE by construction
+    (a fingerprint store appends only fingerprints it has never seen —
+    the 'new' rows of each batch), so the left join below cannot
+    fan out delta rows. ``delta``: (doc_id, source, fingerprint).
+
+    Status per delta doc:
+      - ``dup_of_history``  — fingerprint already in the store,
+      - ``dup_in_delta``    — first seen in THIS batch, but a smaller
+                              doc_id in the same batch claims it,
+      - ``new``             — the batch's keeper; its fingerprint is
+                              what gets appended to the store.
+
+    Scale (the whole point): the history side is the 100 TB store and
+    must NEVER reshuffle per batch. Persist it bucketed on
+    ``fingerprint`` (sources/warehouse.write_bucketed) and the join
+    compiles to bare bucketed scans on the history side with only the
+    delta shuffling into the store's layout — tests/test_bucketing.py
+    pins that plan property (zero Exchange above the history scan).
+    The in-batch window partitions by fingerprint (delta-sized, no
+    SinglePartition)."""
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("fingerprint").orderBy("doc_id")
+    )
+    in_hist = F.col("h_fp").isNotNull()
+    return (
+        delta.withColumn("rn", rn)
+        .join(
+            history_fp.select(F.col("fingerprint").alias("h_fp")),
+            F.col("fingerprint") == F.col("h_fp"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "fingerprint",
+            F.when(in_hist, F.lit("dup_of_history"))
+            .when(F.col("rn") > 1, F.lit("dup_in_delta"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a crawl delta against the historical
+    fingerprint store, rolled up per (source, status).
+
+    The fixture split is deterministic: history = docs with
+    doc_id % 10 < 8 (the store holds their DISTINCT lead-prefix
+    fingerprints — a real store is unique by construction, see
+    incremental_dedup), delta = the remaining 20%."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.slice(_tokens(F.col("text")), 1, FP_PREFIX_TOKENS), " ")
+    )
+    with_fp = docs.select("doc_id", "source", fp.alias("fingerprint"))
+    history_fp = (
+        with_fp.filter(F.pmod("doc_id", F.lit(10)) < 8)
+        .select("fingerprint")
+        .distinct()
+    )
+    delta = with_fp.filter(F.pmod("doc_id", F.lit(10)) >= 8)
+    return (
+        incremental_dedup(history_fp, delta)
+        .groupBy("source", "status")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "status")
+    )
+
+
+# Any-offset duplicate-span window width. 10 tokens keeps the
+# fingerprint stream ~= the token stream (n-9 windows per n-token doc)
+# while staying above the synthetic corpus's trivially-colliding short
+# n-grams.
+DUPSPAN_TOKENS = 10
+
+
+def q_dedup_dupspans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY-OFFSET duplicated-span detection — the stride-1 complement
+    of q_dedup_segments' fixed 10-token grid (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": mark
+    every >=k-token substring that occurs anywhere else in the corpus;
+    their suffix-array pass is re-expressed as the Spark-friendly
+    k-gram-fingerprint equivalent, exact for spans of exactly k tokens
+    and a superset mask for longer ones).
+
+    Rule: every 10-token window (stride 1) is md5-fingerprinted; a
+    window is DUP if its fingerprint occurs anywhere else (another doc
+    or another offset) and it is not the globally-first occurrence
+    (min (doc_id, pos)). Each doc's dup windows are merged into
+    maximal contiguous masked token runs ("islands": intervals
+    [pos, pos+9] coalesced while the next start <= current end + 1).
+
+    Output: per-source audit — doc/window/masked-token/island counts.
+
+    Scale shape: one corpus-scale explode (the window fingerprints —
+    ~1 row per token, the irreducible price of offset-free detection;
+    the in-row transform builds each md5 from a slice, so only the
+    32-char fp leaves the row, never the k-token window text). The
+    keeper table is a map-side-combined groupBy(fp).agg(min, count) —
+    a boilerplate span duplicated 10^6 times partial-aggregates on
+    every map task, so the hot key never concentrates raw rows; the
+    join back on fp is AQE-skew-splittable (same shape family as
+    q_dedup_segments, pinned in tests/test_skew.py). Interval merge
+    runs under a doc_id-partitioned window (per-doc bounded state,
+    no SinglePartition); the final rollup is a 20-row source agg.
+    """
+    from pyspark.sql import Window
+
+    k = DUPSPAN_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", _tokens(F.col("text")).alias("toks")
+    )
+    meta = base.select(
+        "doc_id",
+        "source",
+        F.greatest(F.size("toks") - F.lit(k - 1), F.lit(0)).alias("n_windows"),
+    )
+    # guard: Spark's sequence(1, stop) DESCENDS when stop < 1, so a
+    # doc shorter than k tokens must map to an empty index array, not
+    # sequence(1, 0) == [1, 0]
+    win_starts = F.when(
+        F.size("toks") >= k,
+        F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                win_starts,
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+            )
+        ).alias("pos0", "fp"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "fp")
+    keepers = wins.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "pos")).alias("keeper"),
+        F.count("*").alias("cnt"),
+    )
+    dups = (
+        wins.join(keepers, "fp")
+        .filter(
+            (F.col("cnt") > 1)
+            & (
+                (F.col("doc_id") != F.col("keeper.doc_id"))
+                | (F.col("pos") != F.col("keeper.pos"))
+            )
+        )
+        .select("doc_id", "pos", (F.col("pos") + F.lit(k - 1)).alias("end"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        F.col("pos") > F.coalesce(prev_end, F.lit(-1)) + 1, 1
+    ).otherwise(0)
+    islands = (
+        dups.withColumn("brk", brk)
+        .withColumn(
+            "island",
+            F.sum("brk").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            (F.max("end") - F.min("pos") + 1).alias("masked"),
+            F.count("*").alias("n_wins"),
+        )
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.sum("n_wins").alias("dup_windows"),
+        F.sum("masked").alias("masked_tokens"),
+        F.count("*").alias("n_islands"),
+    )
+    return (
+        meta.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("dup_windows").isNotNull(), 1).otherwise(0)
+            ).alias("n_docs_affected"),
+            F.sum("n_windows").alias("n_windows"),
+            F.sum(F.coalesce(F.col("dup_windows"), F.lit(0))).alias(
+                "n_dup_windows"
+            ),
+            F.sum(F.coalesce(F.col("masked_tokens"), F.lit(0))).alias(
+                "n_masked_tokens"
+            ),
+            F.sum(F.coalesce(F.col("n_islands"), F.lit(0))).alias(
+                "n_masked_islands"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_lsh_verified": q_dedup_lsh_verified,
@@ -664,6 +881,8 @@ QUERIES = {
     "q_doc_contamination": q_doc_contamination,
     "q_dedup_materialize": q_dedup_materialize,
     "q_dedup_segments": q_dedup_segments,
+    "q_dedup_incremental": q_dedup_incremental,
+    "q_dedup_dupspans": q_dedup_dupspans,
 }
 
 _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
@@ -941,4 +1160,95 @@ ORACLES["q_dedup_materialize"] = f"""
            CAST(coalesce(sum(CASE WHEN l.doc_id <> l.label THEN d.n_chars END), 0) AS BIGINT) AS chars_dropped
     FROM documents d JOIN labels l ON d.doc_id = l.doc_id
     GROUP BY d.source ORDER BY d.source
+"""
+
+# q_dedup_incremental: the literal SQL of incremental_dedup — history
+# store = DISTINCT lead-prefix fingerprints of the 80% split, delta
+# row_number over the SAME window (all delta rows of a fingerprint,
+# history-member or not), status precedence history > in-delta > new.
+ORACLES["q_dedup_incremental"] = f"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(array_to_string(({_TOKS})[1:{FP_PREFIX_TOKENS}], ' ')) AS fingerprint
+        FROM documents
+    ),
+    hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 < 8),
+    delta AS (SELECT * FROM fp WHERE doc_id % 10 >= 8),
+    marked AS (
+        SELECT d.source,
+               CASE WHEN h.fingerprint IS NOT NULL THEN 'dup_of_history'
+                    WHEN row_number() OVER (
+                             PARTITION BY d.fingerprint ORDER BY d.doc_id
+                         ) > 1 THEN 'dup_in_delta'
+                    ELSE 'new' END AS status
+        FROM delta d LEFT JOIN hist h USING (fingerprint)
+    )
+    SELECT source, status, count(*) AS n_docs
+    FROM marked GROUP BY source, status ORDER BY source, status
+"""
+
+# q_dedup_dupspans: the literal SQL of the stride-1 k-gram plan —
+# window fingerprints via a correlated UNNEST(range(...)), first
+# occurrence as row_number over (doc_id, pos) (the window twin of the
+# engine's skew-safe groupBy-min keeper), contiguous-run interval
+# merge via the running-max-end window.
+ORACLES["q_dedup_dupspans"] = f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    meta AS (
+        SELECT doc_id, source,
+               greatest(len(toks) - {DUPSPAN_TOKENS} + 1, 0) AS n_windows
+        FROM d
+    ),
+    wins AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(
+                   toks[i : i + {DUPSPAN_TOKENS} - 1], ' ')) AS fp
+        FROM d, UNNEST(range(1, greatest(len(toks) - {DUPSPAN_TOKENS} + 2, 1))) g(i)
+    ),
+    dups AS (
+        SELECT doc_id, pos, pos + {DUPSPAN_TOKENS} - 1 AS e
+        FROM (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY fp) AS cnt,
+                   row_number() OVER (
+                       PARTITION BY fp ORDER BY doc_id, pos
+                   ) AS rn
+            FROM wins
+        ) WHERE cnt > 1 AND rn > 1
+    ),
+    isl AS (
+        SELECT doc_id, pos, e,
+               CASE WHEN pos > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) + 1 THEN 1 ELSE 0 END AS brk
+        FROM dups
+    ),
+    isl2 AS (
+        SELECT doc_id, pos, e,
+               sum(brk) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM isl
+    ),
+    per_island AS (
+        SELECT doc_id, island,
+               max(e) - min(pos) + 1 AS masked, count(*) AS n_wins
+        FROM isl2 GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT doc_id, sum(n_wins) AS dup_windows,
+               sum(masked) AS masked_tokens, count(*) AS n_islands
+        FROM per_island GROUP BY doc_id
+    )
+    SELECT m.source,
+           count(*) AS n_docs,
+           CAST(count(p.doc_id) AS BIGINT) AS n_docs_affected,
+           CAST(sum(m.n_windows) AS BIGINT) AS n_windows,
+           CAST(coalesce(sum(p.dup_windows), 0) AS BIGINT) AS n_dup_windows,
+           CAST(coalesce(sum(p.masked_tokens), 0) AS BIGINT) AS n_masked_tokens,
+           CAST(coalesce(sum(p.n_islands), 0) AS BIGINT) AS n_masked_islands
+    FROM meta m LEFT JOIN per_doc p ON m.doc_id = p.doc_id
+    GROUP BY m.source ORDER BY m.source
 """

@@ -466,6 +466,76 @@ def q_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_BUCKETS = 3  # CCNet's head / middle / tail
+
+
+def q_doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020: score every
+    document with an LM trained on a clean corpus, split each shard
+    into head/middle/tail by score percentile; head feeds training).
+    Re-expressed RNG- and log-free so both engines agree bit-for-bit:
+    the "LM" is the unigram frequency table of the `lang='en'`
+    sub-corpus (the clean-corpus proxy) and the score is the doc's
+    MEAN REFERENCE-TOKEN LIKELIHOOD in parts-per-million —
+    score_ppm = (sum of each token's reference count) * 1e6
+    `div` n_tokens, exact bigint floor division (the constant 1/|ref|
+    scale factor is dropped; ordering is unchanged). Unseen tokens
+    count 0. Buckets: ntile(3) per source over (score desc, doc_id) —
+    1=head, 2=middle, 3=tail.
+
+    Scale shape: the LM is a vocab-sized table (NOT data-sized) —
+    broadcast-hash-joined onto the exploded token stream, the
+    complementary path to q_doc_selection's in-row literal vocab (use
+    this one when V is too big to fold into the plan). Per-doc scores
+    are one partial-agg'd groupBy(doc_id); the ntile window is
+    source-partitioned (shard key — no SinglePartition). Bigint
+    headroom: sum_ref <= n_tokens * max_ref_count; at 10^10-doc scale
+    move score_ppm to decimal(38,0)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    ref_lm = (
+        docs.filter(F.col("lang") == "en")
+        .select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("ref_c"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(ref_lm), "token", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.coalesce(F.col("ref_c"), F.lit(0))).alias("sum_ref"),
+            F.count("*").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr("(sum_ref * 1000000) div n_tokens").alias("score_ppm"),
+        )
+    )
+    bucket = F.ntile(QUALITY_BUCKETS).over(
+        Window.partitionBy("source").orderBy(F.desc("score_ppm"), "doc_id")
+    )
+    label = (
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        per_doc.withColumn("b", bucket)
+        .select("source", label.alias("bucket"), "score_ppm")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("score_ppm").cast("long").alias("sum_score_ppm"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
 QUERIES = {
     "q_word_topk": q_word_topk,
     "q_doc_split": q_doc_split,
@@ -480,6 +550,7 @@ QUERIES = {
     "q_lang_id": q_lang_id,
     "q_doc_summaries": q_doc_summaries,
     "q_doc_fingerprint": q_doc_fingerprint,
+    "q_doc_quality_buckets": q_doc_quality_buckets,
 }
 
 _STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
@@ -695,3 +766,36 @@ ORACLES = {
         ORDER BY fingerprint
     """,
 }
+
+# q_doc_quality_buckets: the literal SQL of the CCNet-lite plan — en
+# unigram table, left join onto the exploded token stream, exact
+# bigint floor division, ntile(3) per source.
+ORACLES["q_doc_quality_buckets"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest({_TOKS_SQL}) AS token FROM documents
+    ),
+    ref_toks AS (
+        SELECT unnest({_TOKS_SQL}) AS token FROM documents WHERE lang = 'en'
+    ),
+    ref_lm AS (
+        SELECT token, count(*) AS ref_c FROM ref_toks GROUP BY token
+    ),
+    per_doc AS (
+        SELECT t.doc_id, t.source,
+               (sum(coalesce(r.ref_c, 0)) * 1000000) // count(*) AS score_ppm
+        FROM toks t LEFT JOIN ref_lm r USING (token)
+        GROUP BY t.doc_id, t.source
+    ),
+    bucketed AS (
+        SELECT source, score_ppm,
+               ntile(3) OVER (
+                   PARTITION BY source ORDER BY score_ppm DESC, doc_id
+               ) AS b
+        FROM per_doc
+    )
+    SELECT source,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(score_ppm) AS BIGINT) AS sum_score_ppm
+    FROM bucketed GROUP BY source, bucket ORDER BY source, bucket
+"""

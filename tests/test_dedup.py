@@ -222,3 +222,108 @@ def test_segment_dedup_semantics(spark, seg_sf):
     got = {r["source"]: r for r in dedup.q_dedup_segments(spark, sf_dir).collect()}
     assert got["srcB"]["n_docs_affected"] == 2
     assert got["srcB"]["n_tokens_dropped"] == 20
+
+
+# ---------------------------------------------------------------------------
+# any-offset duplicated spans (q_dedup_dupspans)
+# ---------------------------------------------------------------------------
+
+def _dupspan_twin(docs, k):
+    """Brute force: docs = [(doc_id, text, source)] -> per-source
+    audit rows matching q_dedup_dupspans' schema."""
+    import re
+    from collections import defaultdict
+
+    wins = []  # (doc_id, pos, key)
+    meta = {}  # doc_id -> (source, n_windows)
+    for doc_id, txt, source in docs:
+        toks = [w for w in re.split(r"[^a-z0-9]+", txt.lower()) if w]
+        n = max(len(toks) - k + 1, 0)
+        meta[doc_id] = (source, n)
+        for i in range(n):
+            wins.append((doc_id, i + 1, " ".join(toks[i:i + k])))
+    by_key = defaultdict(list)
+    for doc_id, pos, key in wins:
+        by_key[key].append((doc_id, pos))
+    masked_pos = defaultdict(set)
+    dup_wins = defaultdict(int)
+    for key, occ in by_key.items():
+        if len(occ) < 2:
+            continue
+        for doc_id, pos in sorted(occ)[1:]:
+            dup_wins[doc_id] += 1
+            masked_pos[doc_id].update(range(pos, pos + k))
+    rows = {}
+    for src in sorted({s for s, _ in meta.values()}):
+        ds = sorted(d for d, (s, _) in meta.items() if s == src)
+        islands = 0
+        for d in ds:
+            ps = sorted(masked_pos.get(d, ()))
+            islands += sum(
+                1 for j, p in enumerate(ps) if j == 0 or p > ps[j - 1] + 1
+            )
+        rows[src] = {
+            "n_docs": len(ds),
+            "n_docs_affected": sum(1 for d in ds if dup_wins.get(d)),
+            "n_windows": sum(meta[d][1] for d in ds),
+            "n_dup_windows": sum(dup_wins.get(d, 0) for d in ds),
+            "n_masked_tokens": sum(len(masked_pos.get(d, ())) for d in ds),
+            "n_masked_islands": islands,
+        }
+    return rows
+
+
+@pytest.fixture(scope="module")
+def dupspan_sf(spark, tmp_path_factory):
+    """Planted any-offset duplication: docB embeds a 10-token run of
+    docA at a DIFFERENT offset (invisible to the fixed segment grid),
+    docC is a full copy of docA, docD is too short for any window,
+    docE repeats its own first 10 tokens at offset 11."""
+    a = ["a%02d" % i for i in range(20)]
+    rows = [
+        (0, " ".join(a), "srcA"),
+        (1, " ".join(["b0", "b1", "b2"] + a[5:15] + ["b3", "b4", "b5"]), "srcA"),
+        (2, " ".join(a), "srcB"),
+        (3, "short doc only five tokens", "srcB"),
+        (4, " ".join(["r%d" % i for i in range(10)] * 2), "srcB"),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, "en", s, len(t)) for d, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path_factory.mktemp("dupspans")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d), rows
+
+
+def test_dupspans_matches_twin(spark, dupspan_sf):
+    sf_dir, rows = dupspan_sf
+    exp = _dupspan_twin(rows, dedup.DUPSPAN_TOKENS)
+    got = {
+        r["source"]: r.asDict()
+        for r in dedup.q_dedup_dupspans(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp)
+    for src in exp:
+        assert {k: got[src][k] for k in exp[src]} == exp[src], src
+
+
+def test_dupspans_semantics(spark, dupspan_sf):
+    """Hand-checked: B's embedded run is ONE dup window / 10 masked
+    tokens (offset-shifted — the case the fixed segment grid misses);
+    C duplicates all 11 of A's windows into one 20-token island; D has
+    no window at all; E's self-repeat dups exactly its pos-11 window."""
+    sf_dir, _ = dupspan_sf
+    got = {
+        r["source"]: r for r in dedup.q_dedup_dupspans(spark, sf_dir).collect()
+    }
+    assert got["srcA"].asDict() == {
+        "source": "srcA", "n_docs": 2, "n_docs_affected": 1,
+        "n_windows": 11 + 7, "n_dup_windows": 1,
+        "n_masked_tokens": 10, "n_masked_islands": 1,
+    }
+    assert got["srcB"].asDict() == {
+        "source": "srcB", "n_docs": 3, "n_docs_affected": 2,
+        "n_windows": 11 + 0 + 11, "n_dup_windows": 11 + 1,
+        "n_masked_tokens": 20 + 10, "n_masked_islands": 2,
+    }
