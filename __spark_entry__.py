@@ -319,13 +319,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one CORRECTNESS round row.
     #
     # r5 late additions (segment dedup, BPE, DSIR selection, SemDeDup,
-    # incremental dedup, CCNet quality buckets, any-offset dup spans)
-    # also go in-window; seven more 3-4x-green stable entries
+    # incremental dedup, CCNet quality buckets, any-offset dup spans,
+    # cross-source overlap matrix, deterministic shuffle shards)
+    # also go in-window; more 3-4x-green stable entries
     # (q_top_parts_per_brand, q_events_percentiles, q_events_cube,
     # q_part_nested_detail, q_events_props_json, q_events_sessionized,
-    # q_token_counts — checked green in CORRECTNESS_r01..r04) rotate
-    # out to keep the window at 50.
+    # q_token_counts, q_doc_split, q_lang_id — checked green in
+    # CORRECTNESS_r01..r04) rotate out to keep the window at 50.
     deferred = [
+        "q_doc_split",
+        "q_lang_id",
         "q_events_props_json",
         "q_events_sessionized",
         "q_token_counts",

@@ -871,6 +871,77 @@ def q_dedup_dupspans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination MATRIX — the pairwise generalization
+    of q_doc_contamination (GPT-3 App. C / PaLM measure n-gram overlap
+    between each training source and each eval set; here every source
+    pair is measured symmetrically, the audit a data-mixing recipe
+    needs BEFORE assigning per-source epoch weights: two sources that
+    are 30% the same corpus would silently double their effective
+    epochs under q_corpus_mix).
+
+    Rule: each doc is cut into the SAME fixed 10-token md5 grid as
+    q_dedup_segments (empty segments excluded); a source's profile is
+    its DISTINCT segment-fingerprint set; for every source pair with
+    any overlap, emit the shared-fingerprint count and
+    overlap_ppm = shared * 1e6 div min(|A|, |B|) (exact bigint floor
+    division — the containment coefficient in parts-per-million).
+
+    Scale shape: the corpus-scale work is one explode + one DISTINCT
+    (source, fp) — map-side combined, output bounded by distinct
+    segments x sources. The self-join on fp is then inherently
+    skew-free: after the DISTINCT, a fingerprint's group is bounded
+    by |sources| (a constant ~20), so even a boilerplate segment
+    duplicated 10^8 times joins as <= S rows producing <= S^2 pairs.
+    Per-source totals are an S-row broadcast. Compare
+    q_dedup_ngram_jaccard, whose DOC-level self-join needs hot-key
+    caps — source-level granularity makes the cap unnecessary."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("source", _tokens(F.col("text")).alias("toks"))
+    n_segs = F.greatest(
+        F.ceil(F.size("toks") / F.lit(SEG_TOKENS)).cast("int"), F.lit(1)
+    )
+    segs = base.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.slice(F.col("toks"), i * SEG_TOKENS + 1, SEG_TOKENS),
+            )
+        ).alias("seg"),
+    ).filter(F.size("seg") > 0)
+    profile = segs.select(
+        "source", F.md5(F.concat_ws(" ", "seg")).alias("fp")
+    ).distinct()
+    totals = profile.groupBy("source").agg(F.count("*").alias("n_fps"))
+    a, b = profile.alias("a"), profile.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(totals.select(F.col("source").alias("source_a"), F.col("n_fps").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("source").alias("source_b"), F.col("n_fps").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.expr("(n_shared * 1000000) div least(n_a, n_b)").alias("overlap_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_lsh_verified": q_dedup_lsh_verified,
@@ -883,6 +954,7 @@ QUERIES = {
     "q_dedup_segments": q_dedup_segments,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_dupspans": q_dedup_dupspans,
+    "q_source_overlap": q_source_overlap,
 }
 
 _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
@@ -1251,4 +1323,33 @@ ORACLES["q_dedup_dupspans"] = f"""
            CAST(coalesce(sum(p.n_islands), 0) AS BIGINT) AS n_masked_islands
     FROM meta m LEFT JOIN per_doc p ON m.doc_id = p.doc_id
     GROUP BY m.source ORDER BY m.source
+"""
+
+# q_source_overlap: the literal SQL of the contamination matrix —
+# same 10-token grid as q_dedup_segments (empty segments excluded),
+# DISTINCT (source, fp) profiles, self-join on fp with source_a <
+# source_b, containment in exact ppm against the smaller profile.
+ORACLES["q_source_overlap"] = f"""
+    WITH d AS (SELECT source, {_TOKS} AS toks FROM documents),
+    segs AS (
+        SELECT source,
+               array_to_string(toks[i * {SEG_TOKENS} + 1 : i * {SEG_TOKENS} + {SEG_TOKENS}], ' ') AS seg_text,
+               len(toks[i * {SEG_TOKENS} + 1 : i * {SEG_TOKENS} + {SEG_TOKENS}]) AS seg_len
+        FROM d, UNNEST(range(0, greatest(CAST(ceil(len(toks) / {SEG_TOKENS}.0) AS INT), 1))) g(i)
+    ),
+    profile AS (
+        SELECT DISTINCT source, md5(seg_text) AS fp FROM segs WHERE seg_len > 0
+    ),
+    totals AS (SELECT source, count(*) AS n_fps FROM profile GROUP BY source),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        FROM profile a JOIN profile b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b, s.n_shared,
+           (s.n_shared * 1000000) // least(ta.n_fps, tb.n_fps) AS overlap_ppm
+    FROM shared s
+    JOIN totals ta ON ta.source = s.source_a
+    JOIN totals tb ON tb.source = s.source_b
+    ORDER BY s.source_a, s.source_b
 """

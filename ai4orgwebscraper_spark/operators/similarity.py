@@ -68,7 +68,20 @@ def _sign_bucket(col):
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: score only vectors in the query's sign
     bucket. Scale: bucket is a cheap column expr; candidate set is
-    ~1/256 of the corpus; exactness traded for a 256x scan cut."""
+    ~1/256 of the corpus; exactness traded for a 256x scan cut.
+
+    Measured recall floor (bench `ann_recall`): on the near-isotropic
+    synthetic embeddings the true top-10 neighbors sit at cosine
+    ~0.3-0.4 (angle ~70 deg), so per-hyperplane sign agreement is
+    ~1 - theta/pi ~= 0.63 and an 8-bit single bucket catches a true
+    neighbor with p ~= 0.63^8 ~= 2.5% — recall@10 floors at 0.
+    Offline sweep confirmed this is the data, not the plane choice
+    (axis-aligned vs deterministic Rademacher full-mix planes, 4-10
+    bits, 1-16 tables: best single-probe recall 0.1). The production
+    answers are the Hamming-probe ring (q_knn_lsh_multiprobe, 0.4-0.6
+    recall at ~2.5% scan) or IVF (recall ~1.0), both implemented;
+    this single-bucket variant stays as the oracle-pinned baseline
+    the tracker measures against."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", _sign_bucket(F.col("embedding"))
     )

@@ -536,6 +536,59 @@ def q_doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SHUFFLE_SHARDS = 256  # first-2-hex-char shard key; production sets
+# this >= cluster width (it is the window parallelism below)
+
+
+def q_doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE into training shards — the step
+    between a curated corpus and a trainer: every epoch's read order
+    must be (a) uniformly shuffled, (b) reproducible bit-for-bit, and
+    (c) computable without a global sort. Shuffle key =
+    md5(doc_id || ':shuffle:epoch0'); shard = first 2 hex chars
+    (256 shards); within-shard order = (key, doc_id). A trainer reads
+    shards in number order, rows in key order — a deterministic
+    permutation of the corpus that no repartitioning can change
+    (contrast df.orderBy(rand()): RNG-seeded per-partition, neither
+    stable nor resumable).
+
+    Output: per-shard audit — doc count, char sum, the first doc in
+    read order, and an order-sensitive checksum
+    sum(position * doc_id) that any within-shard reordering breaks
+    (the property the oracle actually pins; a count-only audit would
+    pass under a broken sort).
+
+    Scale shape: the key is one md5 column expr; the only shuffle is
+    hash-partitioning by shard; the position window partitions by
+    shard — parallelism = N_SHUFFLE_SHARDS, which production sizes to
+    the cluster (shards also cap trainer-side file handles). No
+    global sort: each shard sorts independently (externally if
+    needed), the cross-shard order is the shard number itself.
+    Checksum headroom: pos <= corpus/256, doc_id <= 10^10 →
+    pos * doc_id < 2^63 up to ~10^12 docs; move to decimal(38,0)
+    beyond."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle:epoch0"))).alias("k"),
+    ).withColumn("shard", F.substring("k", 1, 2))
+    pos = F.row_number().over(Window.partitionBy("shard").orderBy("k", "doc_id"))
+    return (
+        keyed.withColumn("pos", pos)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.max(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc"),
+            F.sum(F.col("pos") * F.col("doc_id")).alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
 QUERIES = {
     "q_word_topk": q_word_topk,
     "q_doc_split": q_doc_split,
@@ -551,6 +604,7 @@ QUERIES = {
     "q_doc_summaries": q_doc_summaries,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_doc_quality_buckets": q_doc_quality_buckets,
+    "q_doc_shuffle_shards": q_doc_shuffle_shards,
 }
 
 _STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
@@ -798,4 +852,28 @@ ORACLES["q_doc_quality_buckets"] = f"""
            count(*) AS n_docs,
            CAST(sum(score_ppm) AS BIGINT) AS sum_score_ppm
     FROM bucketed GROUP BY source, bucket ORDER BY source, bucket
+"""
+
+# q_doc_shuffle_shards: the literal SQL of the deterministic global
+# shuffle — md5 shuffle key, 2-hex-char shard, (key, doc_id) order,
+# order-sensitive positional checksum.
+ORACLES["q_doc_shuffle_shards"] = """
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               md5(CAST(doc_id AS VARCHAR) || ':shuffle:epoch0') AS k
+        FROM documents
+    ),
+    positioned AS (
+        SELECT doc_id, n_chars, substr(k, 1, 2) AS shard,
+               row_number() OVER (
+                   PARTITION BY substr(k, 1, 2) ORDER BY k, doc_id
+               ) AS pos
+        FROM keyed
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           max(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+           CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+    FROM positioned GROUP BY shard ORDER BY shard
 """

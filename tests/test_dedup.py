@@ -327,3 +327,56 @@ def test_dupspans_semantics(spark, dupspan_sf):
         "n_windows": 11 + 0 + 11, "n_dup_windows": 11 + 1,
         "n_masked_tokens": 20 + 10, "n_masked_islands": 2,
     }
+
+
+# ---------------------------------------------------------------------------
+# cross-source overlap matrix (q_source_overlap)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def overlap_sf(spark, tmp_path_factory):
+    """Three sources built from 10-token segments with known sharing:
+    srcA = segments {s1, s2}, srcB = {s1, s3}, srcC = {s4} (disjoint).
+    Planted as one 20-token doc per source pair member so the fixed
+    grid cuts exactly on the segment boundaries."""
+    def seg(tag):
+        return " ".join(f"{tag}w{i}" for i in range(10))
+
+    s1, s2, s3, s4 = seg("a"), seg("b"), seg("c"), seg("d")
+    rows = [
+        (0, f"{s1} {s2}", "en", "srcA", 0),
+        (1, f"{s1} {s3}", "en", "srcB", 0),
+        (2, s4, "en", "srcC", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path_factory.mktemp("overlap")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_source_overlap_matrix(spark, overlap_sf):
+    out = {(r["source_a"], r["source_b"]): r for r in dedup.q_source_overlap(spark, overlap_sf).collect()}
+    # only the A-B pair shares anything; C is disjoint -> absent
+    assert set(out) == {("srcA", "srcB")}
+    r = out[("srcA", "srcB")]
+    # 1 shared fp out of min(|A|, |B|) = min(2, 2) = 2 -> 500000 ppm
+    assert r["n_shared"] == 1
+    assert r["overlap_ppm"] == 500000
+
+
+def test_source_overlap_empty_segments_excluded(spark, tmp_path_factory):
+    # an empty doc contributes NO fingerprint: md5('') must not create
+    # phantom overlap between sources that both have empty docs
+    rows = [
+        (0, "", "en", "srcX", 0),
+        (1, "", "en", "srcY", 0),
+        (2, "alpha beta", "en", "srcX", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path_factory.mktemp("overlap_empty")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    assert dedup.q_source_overlap(spark, str(d)).collect() == []

@@ -189,3 +189,60 @@ def test_quality_buckets_unseen_tokens_score_zero(spark, quality_sf):
         for r in text.q_doc_quality_buckets(spark, quality_sf).collect()
     }
     assert rows[("s", "tail")]["sum_score_ppm"] == 0
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle (text.q_doc_shuffle_shards)
+# ---------------------------------------------------------------------------
+
+def test_shuffle_shards_matches_hashlib_twin(spark, tmp_path_factory):
+    """The shard assignment, read order, and order checksum equal a
+    pure-Python md5 twin on a planted corpus."""
+    import hashlib
+    from collections import defaultdict
+
+    rows = [(i, f"doc {i} words", "en", "src", 10 + i) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path_factory.mktemp("shuffle")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    shards = defaultdict(list)
+    for i, _t, _l, _s, n_chars in rows:
+        k = hashlib.md5(f"{i}:shuffle:epoch0".encode()).hexdigest()
+        shards[k[:2]].append((k, i, n_chars))
+    expected = {}
+    for sh, members in shards.items():
+        members.sort()
+        expected[sh] = {
+            "n_docs": len(members),
+            "n_chars": sum(m[2] for m in members),
+            "first_doc": members[0][1],
+            "order_checksum": sum((p + 1) * m[1] for p, m in enumerate(members)),
+        }
+
+    got = {r["shard"]: r for r in text.q_doc_shuffle_shards(spark, str(d)).collect()}
+    assert set(got) == set(expected)
+    for sh, e in expected.items():
+        r = got[sh]
+        assert (r["n_docs"], r["n_chars"], r["first_doc"], r["order_checksum"]) == (
+            e["n_docs"], e["n_chars"], e["first_doc"], e["order_checksum"],
+        ), sh
+
+
+def test_shuffle_shards_repartition_stable(spark):
+    """The permutation is a pure function of doc_id — any input
+    partitioning produces identical audit rows (the property
+    orderBy(rand()) lacks)."""
+    sf = "/root/testdata/sf0.001"
+    a = text.q_doc_shuffle_shards(spark, sf).collect()
+    from ai4orgwebscraper_spark.sources.readers import load_table
+    # same query over a violently repartitioned copy
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="shuffle_repart_")
+    load_table(spark, sf, "documents").repartition(17).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    b = text.q_doc_shuffle_shards(spark, d).collect()
+    assert a == b
