@@ -176,5 +176,118 @@ def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
     )
 
 
-QUERIES = {"q_bpe_merges": q_bpe_merges}
-ORACLES = {"q_bpe_merges": _bpe_oracle_sql()}
+def encode_seq_col(word_col, merges: list[tuple[str, str, int]]):
+    """Apply learned merge rules to a word column — the ENCODE side of
+    BPE: the same ' a  b ' -> ' ab ' literal replaces the trainer
+    folds, as one constant-depth column expression (k replace nodes,
+    no loop at run time)."""
+    seq = _char_seq(word_col)
+    for a, b, _cnt in merges:
+        seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return seq
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING of the corpus with the trained merges — the apply
+    half of the tokenizer (train emits the merge list; every actual
+    pipeline then runs it over the full corpus to produce the subword
+    stream a trainer consumes). Emits the per-source subword audit:
+    word/subword occurrence totals, exact mean subwords-per-word in
+    ppm, and the distinct-subword vocabulary size.
+
+    Scale shape: the corpus-scale pass is one explode +
+    map-side-combined groupBy(source, word) — after it everything is
+    (vocab x sources)-sized. Encoding itself runs on the DISTINCT
+    word table (encode each word once, not once per occurrence — the
+    same pre-aggregation trick training uses), then joins back on
+    word. The merge rules are driver-collected model state (N_MERGES
+    rows — the kmeans k x dim shape) folded into the plan as literal
+    replace nodes.
+
+    Oracle: the training CTE prefix is shared verbatim with
+    q_bpe_merges (s{N} IS the encoded vocabulary), so train and
+    encode can never drift apart."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select("source", F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = occ.groupBy("word").agg(F.sum("cnt").alias("n"))
+    merges = bpe_merges(vocab)
+    enc = vocab.select(
+        "word",
+        F.split(F.trim(encode_seq_col(F.col("word"), merges)), "  ").alias("syms"),
+    )
+    joined = occ.join(enc, "word").select(
+        "source", "cnt", "syms", F.size("syms").alias("n_syms")
+    )
+    stats = joined.groupBy("source").agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_syms")).alias("n_subwords"),
+    )
+    distincts = (
+        joined.select("source", F.explode("syms").alias("sym"))
+        .groupBy("source")
+        .agg(F.count_distinct("sym").alias("n_distinct_subwords"))
+    )
+    return (
+        stats.join(distincts, "source")
+        .select(
+            "source",
+            "n_words",
+            "n_subwords",
+            F.expr("(n_subwords * 1000000) div n_words").alias("subwords_per_word_ppm"),
+            "n_distinct_subwords",
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_encode_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """Training prefix (shared with _bpe_oracle_sql) + the encode
+    CTEs: s{N}.seq split into symbols, joined back onto per-source
+    word occurrences."""
+    from ai4orgwebscraper_spark.operators.text import _TOKS_SQL
+
+    train = _bpe_oracle_sql(n_merges)
+    # the training SQL is "WITH <ctes>\nSELECT 1 AS merge_idx ..." —
+    # keep the CTE block, replace its final SELECT with the encode CTEs
+    parts_sql = train.split("\nSELECT 1 AS merge_idx")[0]
+    return f"""{parts_sql},
+    enc AS MATERIALIZED (
+        SELECT word, string_split(trim(seq), '  ') AS syms FROM s{n_merges}
+    ),
+    occ AS (
+        SELECT source, word, count(*) AS cnt
+        FROM (SELECT source, unnest({_TOKS_SQL}) AS word FROM documents)
+        GROUP BY source, word
+    ),
+    joined AS (
+        SELECT o.source, o.cnt, e.syms, len(e.syms) AS n_syms
+        FROM occ o JOIN enc e USING (word)
+    ),
+    stats AS (
+        SELECT source,
+               CAST(sum(cnt) AS BIGINT) AS n_words,
+               CAST(sum(cnt * n_syms) AS BIGINT) AS n_subwords
+        FROM joined GROUP BY source
+    ),
+    distincts AS (
+        SELECT source, CAST(count(DISTINCT sym) AS BIGINT) AS n_distinct_subwords
+        FROM (SELECT source, unnest(syms) AS sym FROM joined)
+        GROUP BY source
+    )
+    SELECT s.source, s.n_words, s.n_subwords,
+           (s.n_subwords * 1000000) // s.n_words AS subwords_per_word_ppm,
+           d.n_distinct_subwords
+    FROM stats s JOIN distincts d USING (source)
+    ORDER BY s.source
+"""
+
+
+QUERIES = {"q_bpe_merges": q_bpe_merges, "q_bpe_encode": q_bpe_encode}
+ORACLES = {
+    "q_bpe_merges": _bpe_oracle_sql(),
+    "q_bpe_encode": _bpe_encode_oracle_sql(),
+}

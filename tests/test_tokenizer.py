@@ -97,3 +97,57 @@ def test_bpe_weighting_matters(spark, n):
     assert _learn(spark, w1, n) == bpe_py(w1, n)
     assert _learn(spark, w2, n) == bpe_py(w2, n)
     assert bpe_py(w1, 1) != bpe_py(w2, 1)
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE (apply) — the trained merges applied back to words
+# ---------------------------------------------------------------------------
+
+def encode_py(word: str, merges) -> tuple[str, ...]:
+    """Apply merges in training order, greedy leftmost per rule."""
+    s: tuple[str, ...] = tuple(word)
+    for a, b, _cnt in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(s):
+            if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = tuple(out)
+    return s
+
+
+def test_encode_seq_col_matches_twin(spark):
+    from pyspark.sql import functions as F
+
+    from ai4orgwebscraper_spark.operators.tokenizer import encode_seq_col
+
+    words = {"aaaa": 7, "aaa": 5, "aab": 4, "baa": 3, "ab": 6, "cab": 2}
+    merges = _learn(spark, words, 4)
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: tuple(r["syms"])
+        for r in df.select(
+            "word",
+            F.split(F.trim(encode_seq_col(F.col("word"), merges)), "  ").alias("syms"),
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == encode_py(w, merges), w
+
+
+def test_q_bpe_encode_consistency(spark):
+    """Totals are internally consistent on the real fixture: every
+    word encodes to >= 1 symbol and <= len(word) symbols, so
+    n_words <= n_subwords <= total chars; ppm matches the totals."""
+    from ai4orgwebscraper_spark.operators.tokenizer import q_bpe_encode
+
+    rows = q_bpe_encode(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] <= r["n_subwords"]
+        assert r["subwords_per_word_ppm"] == (r["n_subwords"] * 1000000) // r["n_words"]
+        assert r["n_distinct_subwords"] >= 1
