@@ -768,9 +768,14 @@ def q_dedup_dupspans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per-source audit — doc/window/masked-token/island counts.
 
     Scale shape: one corpus-scale explode (the window fingerprints —
-    ~1 row per token, the irreducible price of offset-free detection;
-    the in-row transform builds each md5 from a slice, so only the
-    32-char fp leaves the row, never the k-token window text). The
+    ~1 row per token, the irreducible price of offset-free detection).
+    The fingerprints are built with k-1 codegen'd lead() columns over
+    a doc_id-partitioned window rather than an in-row transform()
+    lambda: HOF lambda bodies evaluate interpreted, measured 3x
+    slower than the lead pass at sf1 even counting the window's
+    doc_id shuffle (the shuffled rows are (doc_id, pos, token) —
+    narrow — and only the 32-char fp survives the projection). The
+    fp table is pinned (it feeds both consumers below). The
     keeper table is a map-side-combined groupBy(fp).agg(min, count) —
     a boilerplate span duplicated 10^6 times partial-aggregates on
     every map task, so the hot key never concentrates raw rows; the
@@ -791,22 +796,35 @@ def q_dedup_dupspans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.greatest(F.size("toks") - F.lit(k - 1), F.lit(0)).alias("n_windows"),
     )
-    # guard: Spark's sequence(1, stop) DESCENDS when stop < 1, so a
-    # doc shorter than k tokens must map to an empty index array, not
-    # sequence(1, 0) == [1, 0]
-    win_starts = F.when(
-        F.size("toks") >= k,
-        F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    wins = base.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                win_starts,
-                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
-            )
-        ).alias("pos0", "fp"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "fp")
+    # window fingerprints via posexplode + k-1 lead() columns, NOT a
+    # transform() lambda over start indices: higher-order-function
+    # lambda bodies are evaluated interpreted (outside whole-stage
+    # codegen), and at ~1 md5 per corpus token that interpretation tax
+    # measured 3x slower than this codegen'd lead-window formulation
+    # at sf1 (22s vs 6.4s cold) EVEN counting the extra doc_id
+    # shuffle the window needs. The shuffle is exchanged once and
+    # reused by both consumers below (ReusedExchange). A doc shorter
+    # than k tokens simply produces no row with lead(k-1) non-null —
+    # the empty-window guard the index-array form needed comes free.
+    toks_rows = base.select("doc_id", F.posexplode("toks").alias("pos0", "tok"))
+    w_pos = Window.partitionBy("doc_id").orderBy("pos0")
+    window_text = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", i).over(w_pos) for i in range(1, k)]
+    )
+    wins = (
+        toks_rows.select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.when(
+                F.lead("tok", k - 1).over(w_pos).isNotNull(), F.md5(window_text)
+            ).alias("fp"),
+        )
+        .filter(F.col("fp").isNotNull())
+    )
+    # wins feeds BOTH the keeper agg and the join probe — pin it so
+    # the sort+window+md5 pass runs once per sf_dir, not twice per
+    # query (same lifecycle/invalidations as the shingle tables)
+    wins = _pin("dupspan_wins", sf_dir, wins)
     keepers = wins.groupBy("fp").agg(
         F.min(F.struct("doc_id", "pos")).alias("keeper"),
         F.count("*").alias("cnt"),

@@ -45,7 +45,7 @@ PICKS = {
     "q_semantic_dedup": "SemDeDup: kmeans assignment stays the broadcast-centroid in-row argmin (no corpus shuffle); the exact cosine pass is a self-join keyed on cluster restricted to sub-cap blocks (small-cluster list broadcast), so the quadratic never sees a junk block (r5)",
     "crawl_spans_dedup": "interleave-preserving span dedup over the flagship payload: keeper = map-side combined groupBy(min) on md5(text); join-back shuffle join (AQE-skew-splittable boilerplate key); per-doc reassembly groupBy bounded by doc size (r5)",
     "q_dedup_incremental": "history fingerprint store joins as a bare scan (bucketed layout: zero Exchange above it); only the delta shuffles; in-batch window partitioned by fingerprint — delta-sized (r5)",
-    "q_dedup_dupspans": "stride-1 window fps via in-row transform+posexplode (only the 32-char fp leaves the row); keeper = map-side combined groupBy(min,count) — hot boilerplate fp partial-aggregates on every map task; interval merge under doc_id-partitioned window (r5)",
+    "q_dedup_dupspans": "stride-1 window fps via k-1 codegen'd lead() columns over the doc_id window (3x faster than the interpreted transform() lambda at sf1), pinned for both consumers; keeper = map-side combined groupBy(min,count); interval merge under doc_id-partitioned window (r5)",
     "q_doc_quality_buckets": "vocab-sized reference LM broadcast onto the exploded token stream; per-doc score one partial-agg'd groupBy; ntile window partitioned by source (r5)",
     "q_source_overlap": "DISTINCT (source, fp) before the fp self-join bounds every fp group by |sources| — the pair join is skew-free by construction; totals an S-row broadcast (r5)",
     "q_doc_shuffle_shards": "md5 permutation as one column expr; the only shuffle is hash-partitioning by the 256-way shard key; position window partitioned by shard — no global sort anywhere (r5)",
