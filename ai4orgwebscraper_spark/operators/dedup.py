@@ -609,6 +609,10 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("seg_hash", F.md5("seg_text"))
     )
+    # segs feeds BOTH the keeper agg and the join probe — pin it so
+    # the slice/explode pass runs once per sf_dir (same rationale and
+    # lifecycle as dupspan_wins above)
+    segs = _pin("segment_segs", sf_dir, segs)
     keepers = segs.groupBy("seg_hash").agg(
         F.min(F.struct("doc_id", "seg_idx")).alias("keeper")
     )

@@ -40,7 +40,7 @@ PICKS = {
     "q_bm25_search": "corpus stats as driver-side literals (no 1-row crossJoin BNLJ); term-df broadcast; the only data-scale shuffle is the per-doc agg; top-20 via TakeOrderedAndProject (r5)",
     "q_inverted_index": "explode -> two partial-agg'd groupBys; posting-head via rank-filtered window over (term, doc_id) — sort-based/spillable, never a per-term in-memory array; no SinglePartition exchange (r5)",
     "q_tfidf_lang_terms": "vocab-sized df table broadcast into the per-lang tf join; ranking window over tiny post-agg per-lang partitions (r5)",
-    "q_dedup_segments": "corpus-scale segment posexplode; keeper = map-side combined groupBy(min) on seg_hash; join-back is a shuffle join (AQE skew-join can split a hot boilerplate key — a window could not); doc reassembly groupBy bounded by doc size (r5)",
+    "q_dedup_segments": "corpus-scale segment posexplode, pinned for its two consumers; keeper = map-side combined groupBy(min) on seg_hash; join-back is a shuffle join (AQE skew-join can split a hot boilerplate key — a window could not); doc reassembly groupBy bounded by doc size (r5)",
     "q_doc_selection": "DSIR-lite: trained vocab folded back as an in-row literal array filter — the corpus scoring pass has NO explode and NO shuffle; top-3 window runs on source-partitioned post-agg rows (r5)",
     "q_semantic_dedup": "SemDeDup: kmeans assignment stays the broadcast-centroid in-row argmin (no corpus shuffle); the exact cosine pass is a self-join keyed on cluster restricted to sub-cap blocks (small-cluster list broadcast), so the quadratic never sees a junk block (r5)",
     "crawl_spans_dedup": "interleave-preserving span dedup over the flagship payload: keeper = map-side combined groupBy(min) on md5(text); join-back shuffle join (AQE-skew-splittable boilerplate key); per-doc reassembly groupBy bounded by doc size (r5)",
