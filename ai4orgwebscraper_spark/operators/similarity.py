@@ -645,19 +645,22 @@ SEMDEDUP_TAU = 0.45
 SEMDEDUP_MAX_BLOCK = 1024
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-cluster SemDeDup audit: vectors seen / dropped / kept and
-    the max in-cluster pairwise cosine. Oracle = unrolled Lloyd CTE
-    (afinal) + the same pair rule in SQL."""
+def _semantic_pairs(spark: SparkSession, sf_dir: str):
+    """The SemDeDup family's shared heavy intermediate: all in-cluster
+    (cluster, vec_id, cos) pairs under the block cap. The exact-cosine
+    pair scan is the family's dominant cost (an interpreted 64-dim
+    fold per pair), and it feeds THREE consumers across two queries
+    (drop decisions + max-cos audit in q_semantic_dedup, drop
+    decisions again in q_semantic_materialize) — pinned per
+    (site, sf_dir) like the dedup shingle tables so one sweep/driver
+    session computes it once. Returns None when the corpus is too
+    small to train the quantizer."""
     from ai4orgwebscraper_spark.operators.clustering import trained_kmeans
+    from ai4orgwebscraper_spark.operators.dedup import _pin
 
     assigned, cents = trained_kmeans(spark, sf_dir)
     if not cents:
-        return spark.createDataFrame(
-            [],
-            "cluster bigint, n_vectors bigint, n_dropped bigint, "
-            "n_kept bigint, max_cos double, capped boolean",
-        )
+        return None
     sizes = assigned.groupBy("cluster").agg(F.count("*").alias("csize"))
     small = sizes.filter(F.col("csize") <= SEMDEDUP_MAX_BLOCK).select("cluster")
     a = assigned.join(F.broadcast(small), "cluster").select(
@@ -673,6 +676,24 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.vec_id").alias("vec_id"),
         _cosine(F.col("x.embedding"), F.col("y.embedding")).alias("cos"),
     )
+    return _pin("semantic_pairs", sf_dir, pairs)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup audit: vectors seen / dropped / kept and
+    the max in-cluster pairwise cosine. Oracle = unrolled Lloyd CTE
+    (afinal) + the same pair rule in SQL."""
+    from ai4orgwebscraper_spark.operators.clustering import trained_kmeans
+
+    pairs = _semantic_pairs(spark, sf_dir)
+    if pairs is None:
+        return spark.createDataFrame(
+            [],
+            "cluster bigint, n_vectors bigint, n_dropped bigint, "
+            "n_kept bigint, max_cos double, capped boolean",
+        )
+    assigned, _cents = trained_kmeans(spark, sf_dir)
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("csize"))
     dropped = (
         pairs.filter(F.col("cos") >= SEMDEDUP_TAU)
         .select("cluster", "vec_id")
@@ -745,35 +766,22 @@ def q_semantic_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing — at production scale k grows with the corpus instead).
 
     Scale: decisions are |embeddings| rows keyed by vec_id; the doc
-    join is one co-keyed shuffle join + a 20-row source rollup."""
-    from ai4orgwebscraper_spark.operators.clustering import trained_kmeans
-
+    join is one co-keyed shuffle join + a 20-row source rollup. The
+    pair scan itself comes from the pinned _semantic_pairs table
+    shared with q_semantic_dedup — one computation per session."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    assigned, cents = trained_kmeans(spark, sf_dir)
-    if not cents:
+    pairs = _semantic_pairs(spark, sf_dir)
+    if pairs is None:
         return spark.createDataFrame(
             [],
             "source string, n_docs bigint, n_kept bigint, "
             "chars_kept bigint, chars_dropped bigint",
         )
-    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("csize"))
-    small = sizes.filter(F.col("csize") <= SEMDEDUP_MAX_BLOCK).select("cluster")
-    a = assigned.join(F.broadcast(small), "cluster").select(
-        "cluster", "vec_id", "embedding"
-    )
-    x, y = a.alias("x"), a.alias("y")
     dropped = (
-        x.join(
-            y,
-            (F.col("x.cluster") == F.col("y.cluster"))
-            & (F.col("x.vec_id") > F.col("y.vec_id")),
-        )
-        .filter(
-            _cosine(F.col("x.embedding"), F.col("y.embedding")) >= SEMDEDUP_TAU
-        )
-        .select(F.col("x.vec_id").alias("vec_id"))
+        pairs.filter(F.col("cos") >= SEMDEDUP_TAU)
+        .select("vec_id")
         .distinct()
         .withColumn("is_dropped", F.lit(1))
     )
