@@ -209,6 +209,45 @@ def _streaming_seed_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: streaming incremental dedup — document batches drain
+    through a file stream and each is classified against the durable
+    fingerprint store built by prior batches (streaming twin of
+    q_dedup_incremental; loop-equality contract tested in
+    tests/test_dedup_stream.py). Fixture: three deterministic batches
+    of sf-dir documents with planted cross-batch repeats."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ai4orgwebscraper_spark.sources.readers import load_table
+    from ai4orgwebscraper_spark.streaming.dedup_stream import stream_incremental_dedup
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("doc_id") < 90)
+    )
+    docs_dir = tempfile.mkdtemp(prefix="dedup_stream_entry_")
+    # batch 1: docs 0-59; batch 2: docs 30-89 (30 exact re-sends — the
+    # recrawl shape the operator classifies as dup_of_history)
+    for i, cond in enumerate((F.col("doc_id") < 60, F.col("doc_id") >= 30)):
+        tmp = tempfile.mkdtemp(prefix="dedup_stream_entry_b_")
+        docs.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(docs_dir, f"b{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = stream_incremental_dedup(spark, docs_dir)
+    return (
+        out.groupBy("batch_id", "status")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("batch_id", "status")
+    )
+
+
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: binary media decode plumbing (codecs stubbed with a
     deterministic fake — operators/multimodal.py)."""
@@ -374,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["crawl_pagerank"] = _crawl_pagerank
     out["crawl_spans_dedup"] = _crawl_spans_dedup
     out["streaming_seed_ingestion"] = _streaming_seed_ingestion
+    out["streaming_incremental_dedup"] = _streaming_incremental_dedup
     out["multimodal_decode"] = _multimodal_decode
     out["multimodal_knn"] = _multimodal_knn
     out["html_parse_fields"] = _html_parse_fields

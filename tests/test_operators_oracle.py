@@ -44,6 +44,7 @@ def test_every_query_is_registered():
         "crawl_pagerank",
         "crawl_spans_dedup",
         "streaming_seed_ingestion",
+        "streaming_incremental_dedup",
         "multimodal_decode",
         "multimodal_knn",
         "html_parse_fields",
