@@ -540,6 +540,91 @@ N_SHUFFLE_SHARDS = 256  # first-2-hex-char shard key; production sets
 # this >= cluster width (it is the window parallelism below)
 
 
+CHUNK_TOKENS = 100  # RAG-standard window
+CHUNK_STRIDE = 80  # 20-token overlap between consecutive chunks
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING document chunking — the context-window split every
+    retrieval/RAG pipeline runs before embedding (LangChain/LlamaIndex
+    default shape: fixed window, fixed overlap so no sentence is cut
+    from both sides). Completes the repo's slicing triptych: fixed
+    grid (q_dedup_segments), stride-1 (q_dedup_dupspans), and this
+    strided-overlap shape.
+
+    Rule: chunk i of a doc covers tokens [i*80+1, i*80+100];
+    n_chunks = ceil(max(n_tokens - 20, 1) / 80) — exactly enough
+    starts that every token is covered and the final chunk keeps at
+    least the overlap's worth of fresh tokens (n=100 -> 1 chunk,
+    n=101 -> 2, n=10 -> 1). Empty docs chunk to one empty chunk (the
+    q_dedup_segments convention, so doc counts reconcile).
+
+    Output per source: doc/chunk/token totals, the exact overlap
+    blow-up in ppm ((chunk_tokens - doc_tokens) * 1e6 div
+    doc_tokens — the storage price of the overlap, the number a
+    capacity plan needs), and the distinct-chunk count (md5; chunking
+    feeds dedup — identical chunks across docs embed identically and
+    an index stores them once).
+
+    Scale shape: one explode bounded by ~n/80 rows per doc (the
+    in-row transform lambda runs once per CHUNK, not per token — two
+    orders cheaper than where the interpreted-HOF tax bit
+    q_dedup_dupspans); chunk stats partial-aggregate per source;
+    distinct-chunk count is one map-side-combined distinct on the
+    32-char md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
+    n_chunks = F.ceil(
+        F.greatest(F.size("toks") - F.lit(CHUNK_TOKENS - CHUNK_STRIDE), F.lit(1))
+        / F.lit(CHUNK_STRIDE)
+    ).cast("int")
+    chunks = base.select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("n_doc_tokens"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(
+                    F.col("toks"), i * CHUNK_STRIDE + 1, CHUNK_TOKENS
+                ),
+            )
+        ).alias("chunk"),
+    ).select(
+        "source",
+        "doc_id",
+        "n_doc_tokens",
+        F.size("chunk").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
+    )
+    per_doc = chunks.groupBy("source", "doc_id", "n_doc_tokens").agg(
+        F.count("*").alias("n_chunks"), F.sum("chunk_len").alias("chunk_tokens")
+    )
+    stats = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chunks").alias("n_chunks"),
+        F.sum("n_doc_tokens").alias("n_doc_tokens"),
+        F.sum("chunk_tokens").alias("n_chunk_tokens"),
+    )
+    distincts = chunks.groupBy("source").agg(
+        F.count_distinct("chunk_md5").alias("n_distinct_chunks")
+    )
+    return (
+        stats.join(distincts, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_chunks",
+            "n_chunk_tokens",
+            F.expr(
+                "(n_chunk_tokens - n_doc_tokens) * 1000000 div n_doc_tokens"
+            ).alias("overlap_ppm"),
+            "n_distinct_chunks",
+        )
+        .orderBy("source")
+    )
+
+
 def q_doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic GLOBAL SHUFFLE into training shards — the step
     between a curated corpus and a trainer: every epoch's read order
@@ -605,6 +690,7 @@ QUERIES = {
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_doc_quality_buckets": q_doc_quality_buckets,
     "q_doc_shuffle_shards": q_doc_shuffle_shards,
+    "q_doc_chunks": q_doc_chunks,
 }
 
 _STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
@@ -876,4 +962,45 @@ ORACLES["q_doc_shuffle_shards"] = """
            max(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
            CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
     FROM positioned GROUP BY shard ORDER BY shard
+"""
+
+# q_doc_chunks: the literal SQL of the strided-overlap chunker —
+# n_chunks = ceil(max(n-20,1)/80), chunk i = toks[i*80+1 : i*80+100],
+# per-source totals + exact overlap ppm + distinct-chunk count.
+ORACLES["q_doc_chunks"] = f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    meta AS (
+        SELECT doc_id, source, len(toks) AS n_doc_tokens,
+               CAST(ceil(greatest(len(toks) - {CHUNK_TOKENS - CHUNK_STRIDE}, 1) / {CHUNK_STRIDE}.0) AS INT) AS n_chunks,
+               toks
+        FROM d
+    ),
+    chunks AS (
+        SELECT source, doc_id, n_doc_tokens,
+               len(toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS chunk_len,
+               md5(array_to_string(toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')) AS chunk_md5
+        FROM meta, UNNEST(range(0, n_chunks)) g(i)
+    ),
+    per_doc AS (
+        SELECT source, doc_id, n_doc_tokens,
+               count(*) AS n_chunks, sum(chunk_len) AS chunk_tokens
+        FROM chunks GROUP BY source, doc_id, n_doc_tokens
+    ),
+    stats AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+               CAST(sum(n_doc_tokens) AS BIGINT) AS n_doc_tokens,
+               CAST(sum(chunk_tokens) AS BIGINT) AS n_chunk_tokens
+        FROM per_doc GROUP BY source
+    ),
+    distincts AS (
+        SELECT source, CAST(count(DISTINCT chunk_md5) AS BIGINT) AS n_distinct_chunks
+        FROM chunks GROUP BY source
+    )
+    SELECT s.source, s.n_docs, s.n_chunks, s.n_chunk_tokens,
+           (s.n_chunk_tokens - s.n_doc_tokens) * 1000000 // s.n_doc_tokens AS overlap_ppm,
+           d.n_distinct_chunks
+    FROM stats s JOIN distincts d USING (source)
+    ORDER BY s.source
 """

@@ -246,3 +246,46 @@ def test_shuffle_shards_repartition_stable(spark):
     )
     b = text.q_doc_shuffle_shards(spark, d).collect()
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# overlapping chunking (text.q_doc_chunks)
+# ---------------------------------------------------------------------------
+
+def test_doc_chunks_formula_and_coverage(spark, tmp_path_factory):
+    """Chunk counts match the ceil((n-overlap)/stride) formula at the
+    edges, every token is covered, and the overlap blow-up is exact."""
+    import math
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    # n: below window, exactly window, window+1, multi-chunk, empty
+    ns = [10, 100, 101, 180, 250, 0]
+    rows = [(i, words(n), "en", "src", n) for i, n in enumerate(ns)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path_factory.mktemp("chunks")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = text.q_doc_chunks(spark, str(d)).collect()
+    assert len(out) == 1
+    r = out[0]
+    exp_chunks = sum(math.ceil(max(n - 20, 1) / 80) for n in ns)
+    assert r["n_docs"] == len(ns)
+    assert r["n_chunks"] == exp_chunks
+
+    def chunk_tokens(n):
+        total = 0
+        for i in range(math.ceil(max(n - 20, 1) / 80)):
+            total += max(0, min(n - i * 80, 100))
+        return total
+
+    exp_chunk_tokens = sum(chunk_tokens(n) for n in ns)
+    assert r["n_chunk_tokens"] == exp_chunk_tokens
+    exp_doc_tokens = sum(ns)
+    assert r["overlap_ppm"] == (exp_chunk_tokens - exp_doc_tokens) * 10**6 // exp_doc_tokens
+    # coverage: chunk_tokens(n) >= n for every n (no token dropped)
+    for n in ns:
+        assert chunk_tokens(n) >= min(n, n)
