@@ -214,7 +214,7 @@ def _streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     through a file stream and each is classified against the durable
     fingerprint store built by prior batches (streaming twin of
     q_dedup_incremental; loop-equality contract tested in
-    tests/test_dedup_stream.py). Fixture: three deterministic batches
+    tests/test_dedup_stream.py). Fixture: two deterministic batches
     of sf-dir documents with planted cross-batch repeats."""
     import glob
     import os

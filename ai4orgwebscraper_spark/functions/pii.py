@@ -20,16 +20,20 @@ pipeline (it is plain DataFrame → DataFrame).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # precision-first patterns; each must be valid in BOTH Spark (Java
 # regex) and RE2-ish engines: no backrefs, no lookbehind.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-# international-ish phone: optional +CC, then 3 groups of digits with
-# separators — 7+ digits total, anchored on non-digit boundaries via
-# the digit groups themselves (word-boundary \b misbehaves around '+')
-PHONE_RE = r"(\+?\d{1,3}[-. (]{1,2})?\d{3}[-. )]{1,2}\d{3}[-. ]?\d{2,4}"
+# phone: optional +CC, then an area code that is either parenthesized
+# or followed by -/., then NNN[-.]NN..NNNN. Requiring at least one
+# structural separator ((...), '-', '.') is the precision-first
+# choice: a pattern that also accepted bare-space triples would mask
+# measurement rows like "120 450 330 mm" — all-space formats such as
+# "+1 415 555 0123" are deliberately NOT matched (word-boundary \b
+# misbehaves around '+', so the digit groups themselves anchor).
+PHONE_RE = r"(\+?\d{1,3}[-. ]{1,2})?(\(\d{3}\)[-. ]{0,2}|\d{3}[-.])\d{3}[-.]\d{2,4}"
 IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
 
 PII_CLASSES = (
@@ -37,20 +41,6 @@ PII_CLASSES = (
     ("phone", PHONE_RE, "<PHONE>"),
     ("ipv4", IPV4_RE, "<IP>"),
 )
-
-
-def mask_pii_col(col: Column) -> Column:
-    """Masked text: every match of every class replaced by its tag.
-
-    Order matters and is fixed: emails first (their local part can
-    contain digit runs a phone pattern would half-eat), then IPv4
-    (dotted digit runs would otherwise match the phone pattern), then
-    phones over the remainder.
-    """
-    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
-    out = F.regexp_replace(out, IPV4_RE, "<IP>")
-    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
-    return out
 
 
 def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -668,6 +668,18 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 FP_PREFIX_TOKENS = 20
 
 
+def fingerprint_col(text_col):
+    """The incremental-dedup fingerprint: md5 of the first
+    FP_PREFIX_TOKENS tokens. SINGLE definition — q_dedup_incremental,
+    its DuckDB oracle, and streaming/dedup_stream.py all derive from
+    it, so the stream==batch equality contract cannot drift."""
+    from ai4orgwebscraper_spark.operators.text import _tokens
+
+    return F.md5(
+        F.array_join(F.slice(_tokens(text_col), 1, FP_PREFIX_TOKENS), " ")
+    )
+
+
 def incremental_dedup(history_fp: DataFrame, delta: DataFrame) -> DataFrame:
     """Classify each doc of a new crawl batch against a historical
     fingerprint store WITHOUT reprocessing history — the production
@@ -690,7 +702,7 @@ def incremental_dedup(history_fp: DataFrame, delta: DataFrame) -> DataFrame:
     must NEVER reshuffle per batch. Persist it bucketed on
     ``fingerprint`` (sources/warehouse.write_bucketed) and the join
     compiles to bare bucketed scans on the history side with only the
-    delta shuffling into the store's layout — tests/test_bucketing.py
+    delta shuffling into the store's layout — tests/test_incremental_and_quality.py
     pins that plan property (zero Exchange above the history scan).
     The in-batch window partitions by fingerprint (delta-sized, no
     SinglePartition)."""
@@ -728,10 +740,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints — a real store is unique by construction, see
     incremental_dedup), delta = the remaining 20%."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = F.md5(
-        F.array_join(F.slice(_tokens(F.col("text")), 1, FP_PREFIX_TOKENS), " ")
+    with_fp = docs.select(
+        "doc_id", "source", fingerprint_col(F.col("text")).alias("fingerprint")
     )
-    with_fp = docs.select("doc_id", "source", fp.alias("fingerprint"))
     history_fp = (
         with_fp.filter(F.pmod("doc_id", F.lit(10)) < 8)
         .select("fingerprint")
@@ -935,6 +946,11 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = segs.select(
         "source", F.md5(F.concat_ws(" ", "seg")).alias("fp")
     ).distinct()
+    # the corpus-scale explode+DISTINCT feeds THREE consumers (totals
+    # and both self-join sides; only identical subtrees get a
+    # ReusedExchange, the aggregate branch does not) — pin it like the
+    # other multi-consumer intermediates in this module
+    profile = _pin("overlap_profile", sf_dir, profile)
     totals = profile.groupBy("source").agg(F.count("*").alias("n_fps"))
     a, b = profile.alias("a"), profile.alias("b")
     shared = (

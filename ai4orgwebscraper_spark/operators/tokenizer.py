@@ -110,11 +110,22 @@ def bpe_merges(words: DataFrame, n_merges: int = N_MERGES) -> list[tuple[str, st
     return merges
 
 
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver entry: the first 5 corpus-weighted BPE merge rules over
-    `documents` tokens. Oracle = the loop unrolled as DuckDB CTEs;
-    canonical-BPE semantics pinned by the pure-Python twin in
-    tests/test_tokenizer.py."""
+_TRAINED_BPE_MEMO: dict[tuple, list[tuple[str, str, int]]] = {}
+
+
+def trained_bpe(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
+    """Train-once semantics for the merge list: q_bpe_merges and
+    q_bpe_encode share ONE training per (session, table) — the same
+    rationale (and memo shape) as clustering.trained_kmeans: the
+    tokenizer is a build artifact, and a sweep/driver session running
+    both queries must not pay two identical N_MERGES-collect
+    trainings. Deterministic: the memo returns the exact merges the
+    training produced."""
+    import os
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    if key in _TRAINED_BPE_MEMO:
+        return _TRAINED_BPE_MEMO[key]
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
@@ -122,6 +133,16 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     merges = bpe_merges(words)
+    _TRAINED_BPE_MEMO[key] = merges
+    return merges
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: the first 5 corpus-weighted BPE merge rules over
+    `documents` tokens. Oracle = the loop unrolled as DuckDB CTEs;
+    canonical-BPE semantics pinned by the pure-Python twin in
+    tests/test_tokenizer.py."""
+    merges = trained_bpe(spark, sf_dir)
     rows = [(i + 1, a, b, cnt) for i, (a, b, cnt) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "merge_idx int, sym_a string, sym_b string, pair_count bigint"
@@ -214,7 +235,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     vocab = occ.groupBy("word").agg(F.sum("cnt").alias("n"))
-    merges = bpe_merges(vocab)
+    merges = trained_bpe(spark, sf_dir)
     enc = vocab.select(
         "word",
         F.split(F.trim(encode_seq_col(F.col("word"), merges)), "  ").alias("syms"),

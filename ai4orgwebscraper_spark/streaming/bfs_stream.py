@@ -174,8 +174,12 @@ def stream_seed_bfs(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        # a failing foreachBatch must not leak a live query into
+        # spark.streams (the exception still propagates)
+        q.stop()
     dirs = _committed_dirs(out_dir)
     if not dirs:
         from ai4orgwebscraper_spark import schemas

@@ -33,20 +33,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ai4orgwebscraper_spark.operators.dedup import FP_PREFIX_TOKENS, incremental_dedup
-from ai4orgwebscraper_spark.operators.text import _tokens
+from ai4orgwebscraper_spark.operators.dedup import fingerprint_col, incremental_dedup
 from ai4orgwebscraper_spark.streaming.seed_stream import _batch_dirs
 
 DOC_BATCH_SCHEMA = "doc_id long, source string, text string"
-
-
-def fingerprint_col(text_col):
-    """The incremental-dedup fingerprint: md5 of the first
-    FP_PREFIX_TOKENS tokens (operators/dedup.py rationale — the
-    lead-prefix key an incremental crawl dedups on)."""
-    return F.md5(
-        F.array_join(F.slice(_tokens(text_col), 1, FP_PREFIX_TOKENS), " ")
-    )
 
 
 def stream_incremental_dedup(
@@ -67,9 +57,19 @@ def stream_incremental_dedup(
     once per file in file order with the store threaded through —
     which in turn equals q_dedup_incremental's semantics on each
     delta. A checkpointed restart continues the store instead of
-    resetting it."""
+    resetting it — which is only possible when the store is durable
+    too, so ``checkpoint_dir`` REQUIRES an explicit ``out_dir``: a
+    checkpoint pointing at a fresh temp store would skip the
+    already-processed files while silently classifying their repeats
+    as 'new'."""
     import tempfile
 
+    if checkpoint_dir and out_dir is None:
+        raise ValueError(
+            "checkpoint_dir requires an explicit out_dir: the checkpoint"
+            " skips already-processed files, so the fingerprint store"
+            " (out_dir) must be the same durable one across restarts"
+        )
     if out_dir is None:
         out_dir = tempfile.mkdtemp(prefix=f"dedup_stream_{uuid.uuid4().hex[:8]}_")
     classified_root = os.path.join(out_dir, "classified")
@@ -110,8 +110,12 @@ def stream_incremental_dedup(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        # a failing _classify must not leak a live query into
+        # spark.streams (the exception still propagates)
+        q.stop()
     dirs = _batch_dirs(classified_root)
     if not dirs:
         return spark.createDataFrame(

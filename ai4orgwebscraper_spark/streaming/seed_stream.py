@@ -102,8 +102,12 @@ def stream_seed_ingestion(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        # a failing foreachBatch must not leak a live query into
+        # spark.streams (the exception still propagates)
+        q.stop()
     # distinguish "no micro-batch produced rows" (no committed batch
     # dirs — an empty increment) from genuine read failures (corrupt
     # files, permission errors), which must PROPAGATE (ADVICE r03: the
@@ -203,8 +207,12 @@ def stream_seed_crawl(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        # a failing foreachBatch must not leak a live query into
+        # spark.streams (the exception still propagates)
+        q.stop()
     dirs = _batch_dirs(out_dir)
     if not dirs:
         from ai4orgwebscraper_spark import schemas

@@ -109,3 +109,14 @@ def test_stream_empty_dir(spark, tmp_path):
     os.makedirs(docs_dir)
     got = stream_incremental_dedup(spark, docs_dir, out_dir=str(tmp_path / "out"))
     assert got.collect() == []
+
+
+def test_stream_checkpoint_requires_out_dir(spark, tmp_path):
+    """A checkpoint without a durable store would skip files while
+    classifying their repeats as 'new' — rejected loudly."""
+    import pytest
+
+    with pytest.raises(ValueError, match="out_dir"):
+        stream_incremental_dedup(
+            spark, str(tmp_path / "docs"), checkpoint_dir=str(tmp_path / "ckpt")
+        )

@@ -66,3 +66,19 @@ def test_scrub_keeps_other_columns_and_fixture_is_clean(spark):
         F.sum("n_email").alias("e"), F.sum("n_phone").alias("p"), F.sum("n_ipv4").alias("i")
     ).collect()[0]
     assert (agg["e"], agg["p"], agg["i"]) == (0, 0, 0)
+
+
+def test_scrub_spares_spaced_number_triples(spark):
+    # precision-first: bare-space digit triples are prose (measurement
+    # rows, ID lists), not phones — the pattern requires a structural
+    # separator ((...), '-', '.'); all-space phone formats are
+    # documented as out of scope
+    texts = [
+        "dimensions 120 450 330 mm",
+        "pages 123 456 78",
+        "+1 415 555 0123",  # all-space format: deliberately unmatched
+    ]
+    df = _rows(spark, texts)
+    for r, t in zip(scrub_pii(df).orderBy("doc_id").collect(), texts):
+        assert r["text"] == t, t
+        assert r["n_phone"] == 0
