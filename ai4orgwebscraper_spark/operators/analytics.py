@@ -203,6 +203,44 @@ def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day cohort retention — the activity metric every event
+    analytics engine ships (of the users active on day d, how many
+    return on d+1). Integer distinct counts and exact bigint ppm, so
+    the cross-engine hash gate holds with no float boundary.
+
+    Scale shape: the corpus-scale pass is one DISTINCT (user_id, day)
+    — map-side combined, output bounded by users x days; the
+    day-over-day self-join runs on that reduced table keyed by
+    (user_id, day) and the rollup groups by day (tiny). The DISTINCT
+    table feeds both join sides from one Exchange (identical
+    subtrees reuse)."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).distinct()
+    # a user active on day d+1 appears here under day d — the left
+    # join below then marks exactly the (user, d) pairs that return
+    came_back = active.select(
+        "user_id",
+        F.date_format(F.date_sub(F.to_date("day"), 1), "yyyy-MM-dd").alias("day"),
+        F.lit(1).alias("returns_next_day"),
+    )
+    return (
+        active.join(came_back, ["user_id", "day"], "left")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.count("returns_next_day").alias("n_retained_next"),
+        )
+        .withColumn(
+            "retention_ppm",
+            F.expr("(n_retained_next * 1000000) div n_active"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "q_events_session_windows": q_events_session_windows,
     "q_events_percentiles": q_events_percentiles,
@@ -214,6 +252,7 @@ QUERIES = {
     "q_events_sessionized": q_events_sessionized,
     "q_events_props_json": q_events_props_json,
     "q_event_type_rates": q_event_type_rates,
+    "q_user_retention": q_user_retention,
 }
 
 ORACLES = {
@@ -304,3 +343,28 @@ ORACLES = {
         FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
+
+# q_user_retention: literal SQL of the day-over-day retention plan —
+# DISTINCT (user, day), self-join shifted by one day, exact ppm.
+ORACLES["q_user_retention"] = """
+    WITH active AS (
+        SELECT DISTINCT user_id,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        FROM events
+    ),
+    came_back AS (
+        SELECT user_id,
+               strftime(CAST(day AS DATE) - INTERVAL 1 DAY, '%Y-%m-%d') AS day,
+               1 AS returns_next_day
+        FROM active
+    ),
+    rolled AS (
+        SELECT a.day, count(*) AS n_active,
+               CAST(count(c.returns_next_day) AS BIGINT) AS n_retained_next
+        FROM active a LEFT JOIN came_back c USING (user_id, day)
+        GROUP BY a.day
+    )
+    SELECT day, n_active, n_retained_next,
+           (n_retained_next * 1000000) // n_active AS retention_ppm
+    FROM rolled ORDER BY day
+"""
