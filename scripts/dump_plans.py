@@ -51,6 +51,7 @@ PICKS = {
     "q_doc_shuffle_shards": "md5 permutation as one column expr; the only shuffle is hash-partitioning by the 256-way shard key; position window partitioned by shard — no global sort anywhere (r5)",
     "q_bpe_encode": "encode runs on the DISTINCT word table (vocab-sized), merges folded as literal replace nodes; the corpus-scale pass is one explode + map-side-combined groupBy(source, word) before the vocab join (r5)",
     "q_doc_chunks": "strided-overlap chunk explode bounded by ~n/80 rows per doc (transform lambda per CHUNK, not per token); per-source partial-agg stats + one map-side-combined distinct on chunk md5 (r5)",
+    "q_user_retention": "map-side-combined DISTINCT (user, day) before anything else; the day-shift self-join runs on the reduced table from one reused Exchange; rollup groups by day (r5)",
 }
 
 
