@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_quality",
         "q_doc_fingerprint",
         "q_doc_summaries",
+        "q_events_asof_join",
         "q_events_props_json",
         "q_events_sessionized",
         "q_token_counts",

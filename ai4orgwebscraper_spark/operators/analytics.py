@@ -241,6 +241,74 @@ def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel conversion (view -> click -> purchase): a user
+    counts for stage k only with a stage-k event strictly AFTER their
+    qualifying stage-(k-1) event — the order constraint is what
+    separates a funnel from three independent counts, and the classic
+    event-analytics operator beside sessionization and retention.
+
+    Tie/ambiguity rule (identical in the oracle): the qualifying
+    stage-k timestamp is the EARLIEST stage-k event after the
+    qualifying stage-(k-1) timestamp; 'after' is strict (same-instant
+    events do not chain).
+
+    Output: one row per stage — users reaching it, plus exact ppm
+    conversion from the previous stage and from the funnel top.
+
+    Scale shape: one conditional-min aggregation per stage, each
+    keyed by user_id over the events already reduced to that user's
+    candidate rows, with the per-user state from the previous stage
+    broadcast-sized per row (a (user, ts) table, never the raw
+    events). Three passes = number of stages, a constant; no windows,
+    no self-join on events."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # stage 1: earliest view per user
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    # stage 2: earliest click strictly after t1
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    # stage 3: earliest purchase strictly after t2
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [df.count() for df in (s1, s2, s3)]
+    rows = []
+    for i, (stage, n) in enumerate(zip(FUNNEL_STAGES, counts)):
+        prev = counts[i - 1] if i else n
+        top = counts[0] if counts[0] else 1
+        rows.append(
+            (
+                i + 1,
+                stage,
+                n,
+                (n * 1_000_000) // prev if prev else 0,
+                (n * 1_000_000) // top,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "stage int, event_type string, n_users bigint,"
+        " conv_from_prev_ppm bigint, conv_from_top_ppm bigint",
+    ).orderBy("stage")
+
+
 QUERIES = {
     "q_events_session_windows": q_events_session_windows,
     "q_events_percentiles": q_events_percentiles,
@@ -253,6 +321,7 @@ QUERIES = {
     "q_events_props_json": q_events_props_json,
     "q_event_type_rates": q_event_type_rates,
     "q_user_retention": q_user_retention,
+    "q_events_funnel": q_events_funnel,
 }
 
 ORACLES = {
@@ -367,4 +436,47 @@ ORACLES["q_user_retention"] = """
     SELECT day, n_active, n_retained_next,
            (n_retained_next * 1000000) // n_active AS retention_ppm
     FROM rolled ORDER BY day
+"""
+
+# q_events_funnel: literal SQL of the three conditional-min passes —
+# strict 'after' chaining, exact ppm conversions computed from the
+# same counts.
+ORACLES["q_events_funnel"] = """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    ),
+    c AS (
+        SELECT (SELECT count(*) FROM s1) AS n1,
+               (SELECT count(*) FROM s2) AS n2,
+               (SELECT count(*) FROM s3) AS n3
+    )
+    SELECT * FROM (
+        SELECT 1 AS stage, 'view' AS event_type, n1 AS n_users,
+               1000000 AS conv_from_prev_ppm,
+               (n1 * 1000000) // greatest(n1, 1) AS conv_from_top_ppm
+        FROM c
+        UNION ALL
+        SELECT 2, 'click', n2,
+               CASE WHEN n1 > 0 THEN (n2 * 1000000) // n1 ELSE 0 END,
+               (n2 * 1000000) // greatest(n1, 1)
+        FROM c
+        UNION ALL
+        SELECT 3, 'purchase', n3,
+               CASE WHEN n2 > 0 THEN (n3 * 1000000) // n2 ELSE 0 END,
+               (n3 * 1000000) // greatest(n1, 1)
+        FROM c
+    ) ORDER BY stage
 """
