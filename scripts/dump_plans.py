@@ -52,6 +52,7 @@ PICKS = {
     "q_bpe_encode": "encode runs on the DISTINCT word table (vocab-sized), merges folded as literal replace nodes; the corpus-scale pass is one explode + map-side-combined groupBy(source, word) before the vocab join (r5)",
     "q_doc_chunks": "strided-overlap chunk explode bounded by ~n/80 rows per doc (transform lambda per CHUNK, not per token); per-source partial-agg stats + one map-side-combined distinct on chunk md5 (r5)",
     "q_user_retention": "map-side-combined DISTINCT (user, day) before anything else; the day-shift self-join runs on the reduced table from one reused Exchange; rollup groups by day (r5)",
+    "q_events_funnel": "one conditional-min agg per stage keyed by user_id, each stage joined to the previous stage's (user, ts) table — no windows, no events self-join (r5)",
 }
 
 
