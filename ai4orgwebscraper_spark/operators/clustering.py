@@ -5,16 +5,35 @@ this). Lloyd iterations with a fixed count, deterministic
 first-k-vectors init, no RNG — the cross-engine/resume discipline every
 operator here follows.
 
-Scale shape:
-- assignment is an IN-ROW argmin fold over a literal centroid array
-  (the shuffle-free pattern of similarity._centroid_ranked) — the
-  corpus never shuffles for assignment;
-- centroid update is posexplode(dim) → partial-agg on (cluster, dim):
-  map-side combine shrinks the shuffle to k x dim rows per partition;
-- the k x dim centroid matrix is MODEL STATE, not data — collecting it
-  to the driver each iteration is the standard distributed-k-means
-  layout (Spark MLlib's KMeans does the same); nothing data-scale ever
-  reaches the driver.
+Scale shape (r6 layout — guide §4.2 "do the heavy lifting in native
+code"):
+- assignment is a vectorized Arrow pass: batches of vectors meet the
+  k x dim centroid matrix (closure-shipped model state) in numpy —
+  the corpus never shuffles for assignment, and the per-row cost is
+  a few hundred ns instead of the ~0.4 ms/row the previous
+  interpreted zip_with/aggregate argmin fold paid (the fold is
+  CodegenFallback; an unrolled compiled variant was tried and
+  reverted — fused above the centroid broadcast join the generated
+  method cannot be split and Janino compilation of the 640-term
+  expression takes minutes);
+- the per-iteration centroid update is FUSED into the same pass:
+  each task emits its partition's (cluster, count, sum-vector)
+  partials — k x dim rows per partition, merged on the driver in
+  partition order (deterministic), replacing the former
+  posexplode → groupBy(cluster, dim) shuffle per iteration;
+- the k x dim centroid matrix is MODEL STATE, not data — collecting
+  it to the driver each iteration is the standard distributed-k-means
+  layout (Spark MLlib's KMeans does the same); nothing data-scale
+  ever reaches the driver.
+
+Float determinism: the per-row distance accumulates over dimensions
+SEQUENTIALLY (a numpy op per dimension, vectorized across rows), i.e.
+the exact IEEE operation order of the old JVM fold — assignments are
+bit-identical. Per-partition sum merging is ordered by partition id,
+which is *more* deterministic than the previous shuffle-order final
+aggregation; cross-engine centroid agreement remains what it always
+was (last-ULP, absorbed by the rounded outputs and argmin margins the
+oracle gate checks).
 """
 
 from __future__ import annotations
@@ -36,6 +55,8 @@ def _cents_df(spark: SparkSession, cents: list[list[float]]) -> DataFrame:
 
 
 def _d2(vec_col, cent_vec):
+    """Dim-agnostic JVM fold (kept for the 1-row probe sides in
+    similarity.py — data-scale paths use the Arrow pass below)."""
     return F.aggregate(
         F.zip_with(
             vec_col, cent_vec,
@@ -46,32 +67,151 @@ def _d2(vec_col, cent_vec):
     )
 
 
-def _assign(vectors: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """vectors + `cluster` column: argmin L2 over the broadcast
-    centroid array, ties to the lower cluster id — a single-row
-    broadcast join + one narrow in-row fold (the shuffle-free layout
-    of similarity._centroid_ranked). Centroids travel as DATA, not as
-    literal expressions: a k x dim literal tree made every iteration
-    recompile codegen (~1s/iteration at k=10, dim=64); with data the
-    generated code is identical across iterations and hits the
-    codegen cache."""
-    packed = _cents_df(vectors.sparkSession, cents).agg(
-        F.collect_list(F.struct("cluster", "cent_vec")).alias("cents")
-    )
-    scored = F.array_sort(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                _d2(F.col("embedding"), c["cent_vec"]).alias("d2"),
-                c["cluster"].alias("cluster"),
-            ),
+def _list_matrix(arr):
+    """(n, dim) float64 matrix from a pyarrow list<float/double> array.
+    Fast path: uniform row width → one reshape over the values buffer.
+    float32 → float64 first, exactly as the old fold's cast did."""
+    import numpy as np
+
+    n = len(arr)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    widths = offsets[1:] - offsets[:-1]
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    if n and widths.min() == widths.max() and arr.null_count == 0:
+        dim = int(widths[0])
+        X = vals[offsets[0]: offsets[-1]].astype(np.float64, copy=False)
+        return X.reshape(n, dim)
+    # ragged/null rows can't form a matrix — callers fall back per row
+    return None
+
+
+def _d2_matrix(X, cents_np):
+    """(n, k) squared-L2 distances, accumulated over dimensions in
+    sequence — the IEEE operation order of the old JVM fold, so the
+    doubles (and therefore every argmin) are bit-identical."""
+    import numpy as np
+
+    n, dim = X.shape
+    k = cents_np.shape[0]
+    D = np.empty((n, k), dtype=np.float64)
+    for j in range(k):
+        acc = np.zeros(n, dtype=np.float64)
+        c = cents_np[j]
+        for d in range(dim):
+            t = X[:, d] - c[d]
+            acc = acc + t * t
+        D[:, j] = acc
+    return D
+
+
+def _assign(vectors: DataFrame, cents: list[list[float]], with_dist: bool = False) -> DataFrame:
+    """vectors + `cluster` column (+ `dist` when asked): argmin L2 over
+    the closure-shipped centroid matrix, ties to the lower cluster id
+    (np.argmin returns the first minimum — the old array_sort
+    (d2, cluster) ordering). One vectorized Arrow pass, no shuffle,
+    all input columns passed through untouched."""
+    import numpy as np
+
+    cents_np = np.array([[float(v) for v in c] for c in cents], dtype=np.float64)
+    in_schema = vectors.schema
+    out_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema)
+    out_ddl += ", cluster int" + (", dist double" if with_dist else "")
+    emb_idx = [f.name for f in in_schema].index("embedding")
+
+    def fn(batches):
+        import pyarrow as pa
+
+        # drain-first (see frontier/fetch.py): never interleave output
+        # with the JVM's input stream
+        pending = [b for b in batches if b.num_rows > 0]
+        for b in pending:
+            X = _list_matrix(b.column(emb_idx))
+            if X is None:
+                rows = b.column(emb_idx).to_pylist()
+                D = np.vstack([
+                    _d2_matrix(
+                        np.array([r], dtype=np.float64), cents_np
+                    )[0] if r else np.full(cents_np.shape[0], np.inf)
+                    for r in rows
+                ])
+            else:
+                D = _d2_matrix(X, cents_np)
+            cl = np.argmin(D, axis=1)
+            cols = list(b.columns)
+            names = [f.name for f in in_schema] + ["cluster"]
+            cols.append(pa.array(cl.astype(np.int32), type=pa.int32()))
+            if with_dist:
+                names.append("dist")
+                dist = np.sqrt(D[np.arange(len(cl)), cl])
+                cols.append(pa.array(dist, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return vectors.mapInArrow(fn, schema=out_ddl)
+
+
+def _lloyd_step(vectors: DataFrame, cents: list[list[float]]) -> tuple[dict, dict]:
+    """One fused assign+update pass: every task emits its partition's
+    per-cluster (count, sum-vector) — k x dim model-state rows per
+    partition, never data-scale. Returns (counts, sums) merged on the
+    driver in partition-id order (deterministic)."""
+    import numpy as np
+
+    cents_np = np.array([[float(v) for v in c] for c in cents], dtype=np.float64)
+    k = cents_np.shape[0]
+    dim = cents_np.shape[1]
+    emb_idx = [f.name for f in vectors.schema].index("embedding")
+
+    def fn(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        acc_n = np.zeros(k, dtype=np.int64)
+        acc_s = np.zeros((k, dim), dtype=np.float64)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            X = _list_matrix(b.column(emb_idx))
+            if X is None:  # ragged rows: per-row fallback
+                for r in b.column(emb_idx).to_pylist():
+                    if not r:
+                        continue
+                    x = np.array([r], dtype=np.float64)
+                    j = int(np.argmin(_d2_matrix(x, cents_np)[0]))
+                    acc_n[j] += 1
+                    acc_s[j] += x[0]
+                continue
+            cl = np.argmin(_d2_matrix(X, cents_np), axis=1)
+            for j in range(k):
+                mask = cl == j
+                if mask.any():
+                    acc_n[j] += int(mask.sum())
+                    acc_s[j] += X[mask].sum(axis=0)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([pid] * k, type=pa.int32()),
+                pa.array(np.arange(k, dtype=np.int32), type=pa.int32()),
+                pa.array(acc_n, type=pa.int64()),
+                pa.array([row.tolist() for row in acc_s], type=pa.list_(pa.float64())),
+            ],
+            names=["pid", "cluster", "n", "s"],
         )
-    )
-    return (
-        vectors.crossJoin(F.broadcast(packed))
-        .withColumn("cluster", scored[0]["cluster"])
-        .drop("cents")
-    )
+
+    partials = vectors.mapInArrow(
+        fn, schema="pid int, cluster int, n bigint, s array<double>"
+    ).collect()
+    counts: dict[int, int] = {}
+    sums: dict[int, list[float]] = {}
+    for r in sorted(partials, key=lambda r: (r["pid"], r["cluster"])):
+        j = r["cluster"]
+        if r["n"] == 0:
+            continue
+        counts[j] = counts.get(j, 0) + r["n"]
+        if j in sums:
+            sums[j] = [a + b for a, b in zip(sums[j], r["s"])]
+        else:
+            sums[j] = list(r["s"])
+    return counts, sums
 
 
 def kmeans(
@@ -90,40 +230,19 @@ def kmeans(
         return vectors.limit(0).withColumn("cluster", F.lit(0)), []
     cents = [[float(x) for x in r["embedding"]] for r in init_rows]
     k = len(cents)
-    dim_count = len(cents[0])
     # the vectors are scanned once per iteration — cache them for the
     # loop (unpersist before returning: the returned assignment plan
     # reads the same cache-keyed plan, so the final consumer re-reads
     # source, which is correct and bounded)
     vectors = vectors.persist()
-    spark = vectors.sparkSession
-    sess_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    # the stats shuffle carries k x dim rows per map task — at the
-    # session width (corpus-tuned) the final agg is 32 near-empty
-    # tasks x 2 stages per iteration of pure scheduling overhead
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(int(sess_parts), max(1, k)))
-    )
     try:
         for _ in range(iterations):
-            assigned = _assign(vectors, cents)
-            stats = (
-                assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
-                .groupBy("cluster", "dim")
-                .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
-                .collect()
-            )  # k x dim model-state rows — never data-scale
-            sums: dict[int, list[float]] = {}
-            counts: dict[int, int] = {}
-            for r in stats:
-                sums.setdefault(r["cluster"], [0.0] * dim_count)[r["dim"]] = r["s"]
-                counts[r["cluster"]] = r["n"]
+            counts, sums = _lloyd_step(vectors, cents)
             cents = [
                 [s / counts[j] for s in sums[j]] if j in counts else cents[j]
                 for j in range(k)
             ]
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
         vectors.unpersist(blocking=False)
     return _assign(vectors, cents), cents
 
@@ -145,7 +264,13 @@ def trained_kmeans(
     import os
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    key = (id(spark), os.path.abspath(sf_dir), k, iterations)
+    # memo key carries the data fingerprint (embeddings parquet mtimes)
+    # so a regenerated sf_dir in a live session retrains instead of
+    # serving stale centroids (ADVICE r05)
+    key = (
+        id(spark), os.path.abspath(sf_dir), k, iterations,
+        _emb_fingerprint(sf_dir),
+    )
     if key in _TRAINED_MEMO:
         cents = _TRAINED_MEMO[key]
         if not cents:
@@ -154,6 +279,19 @@ def trained_kmeans(
     assigned, cents = kmeans(emb, k, iterations)
     _TRAINED_MEMO[key] = cents
     return assigned, cents
+
+
+def _emb_fingerprint(sf_dir: str) -> float:
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtimes = [os.path.getmtime(p)]
+        if os.path.isdir(p):
+            mtimes += [e.stat().st_mtime for e in os.scandir(p)]
+        return max(mtimes)
+    except OSError:
+        return 0.0
 
 
 def kmeans_py(
@@ -192,15 +330,20 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checked against the UNROLLED 5-iteration Lloyd loop in
     DuckDB (kmeans_oracle_cte below — VERDICT r03 missing #2); exact
     twin parity on planted separated clusters in
-    tests/test_clustering.py."""
-    assigned, cents = trained_kmeans(spark, sf_dir)
+    tests/test_clustering.py.
+
+    r6: the per-row distance rides out of the same Arrow assignment
+    pass (dist = sqrt of the chosen cluster's d2 — identical doubles,
+    see _d2_matrix), replacing the former broadcast join +
+    interpreted fold over the whole corpus."""
+    _assigned, cents = trained_kmeans(spark, sf_dir)
     if not cents:
         return spark.createDataFrame(
             [], "cluster bigint, n_vectors bigint, avg_dist double"
         )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return (
-        assigned.join(F.broadcast(_cents_df(spark, cents)), "cluster")
-        .withColumn("dist", F.sqrt(_d2(F.col("embedding"), F.col("cent_vec"))))
+        _assign(emb, cents, with_dist=True)
         .groupBy(F.col("cluster").cast("long").alias("cluster"))
         .agg(
             F.count("*").alias("n_vectors"),

@@ -13,14 +13,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ai4orgwebscraper_spark.sources.readers import load_table
+from ai4orgwebscraper_spark.sources.readers import load_table, load_wide
 
 QUERY_VEC_ID = 0
 TOP_K = 10
 
 
 def _cosine(a, b):
-    """cos(a, b) as a sequential JVM fold over the zipped arrays."""
+    """cos(a, b) as a sequential JVM fold over the zipped arrays.
+    (r6 note: an unrolled compiled variant was tried and reverted —
+    above a join, whole-stage codegen cannot split the generated
+    method and Janino compilation of the 640-term expression takes
+    minutes; the fold stays, and the scan is widened instead so the
+    interpreted cost parallelizes.)"""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -37,7 +42,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the query is a broadcast single row; the scan is
     embarrassingly parallel, the top-k a TakeOrderedAndProject —
     no shuffle of the corpus."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_wide(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("query_vec")
     )
@@ -82,7 +87,7 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall at ~2.5% scan) or IVF (recall ~1.0), both implemented;
     this single-bucket variant stays as the oracle-pinned baseline
     the tracker measures against."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = load_wide(spark, sf_dir, "embeddings").withColumn(
         "bucket", _sign_bucket(F.col("embedding"))
     )
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
@@ -121,7 +126,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in different sign buckets are sacrificed — the standard LSH
     recall/cost trade; multi-band sign-LSH would recover them with the
     same plan shape."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = load_wide(spark, sf_dir, "embeddings").withColumn(
         "bucket", _sign_bucket(F.col("embedding"))
     )
     sizes = emb.groupBy("label", "bucket").agg(F.count("*").alias("block_n"))
@@ -170,7 +175,7 @@ def _centroid_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the previous crossJoin+row_number-window plan moved 8x the corpus
     through an Exchange on vec_id). Plan: scan → broadcast 1-row join
     → project. Narrow only."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_wide(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS).agg(
         F.collect_list(
             F.struct(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec"))
@@ -225,13 +230,10 @@ def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same plan as q_knn_ivf — the probe set is a 2-row broadcast,
     candidates are bucket-pruned before any cosine is computed."""
-    ranked = _centroid_ranked(spark, sf_dir)
-    assigned = ranked.select(
-        "vec_id", "embedding", F.col("ranked_cents")[0]["cent_id"].alias("bucket")
-    )
+    assigned = _ivf_assign(spark, sf_dir)
     # the probe set explodes ONE row's top-NPROBE ranked centroids
     probes = (
-        ranked.filter(F.col("vec_id") == QUERY_VEC_ID)
+        _centroid_ranked(spark, sf_dir).filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(F.explode(F.slice("ranked_cents", 1, NPROBE)).alias("p"))
         .select(F.col("p.cent_id").alias("probe_bucket"))
     )
@@ -350,7 +352,7 @@ def q_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0.9-1.0 tracked). The probe predicate is a codegen'd
     bit_count(XOR) against the broadcast query signature — no bucket
     enumeration, no corpus shuffle."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = load_wide(spark, sf_dir, "embeddings").withColumn(
         "bucket", _plane_sig(F.col("embedding"))
     )
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(

@@ -36,6 +36,20 @@ from ai4orgwebscraper_spark.plans.spill import BudgetedSpillDir
 
 ROWS_PER_PARTITION = 500_000
 
+# Lineage-truncation strategy switch (r6, guide §2/§5): below this
+# many state rows a parquet round-trip per step is pure overhead —
+# two jobs + file commit against kilobytes of state — and
+# localCheckpoint (one job, blocks in the executor storage tier,
+# lineage truncated identically) is strictly cheaper. Above it, the
+# parquet spill remains the right shape: durable files survive
+# executor loss and bound memory explicitly, which is what a
+# 10^9-node loop needs. The bound is on STATE ROWS (known to every
+# caller for free — it already sizes the loop width), not on cores,
+# so the choice scales with the data, not the machine.
+def _local_ckpt_max_rows() -> int:
+    # read per call so tests can pin either branch
+    return int(os.environ.get("SPARK_GRAFT_LOCAL_CKPT_MAX_ROWS", "5000000"))
+
 
 def loop_width(spark: SparkSession, n_state_rows: int) -> int:
     """Shuffle width for a state table of ``n_state_rows`` rows —
@@ -73,6 +87,11 @@ def spill_loop(
     lineage-free reader."""
     dirs = BudgetedSpillDir(prefix)
     step_paths: dict[int, str] = {}
+    # keep a reference to each localCheckpoint step until superseded
+    # (two-back, mirroring the file deletion): popping the reference
+    # lets the ContextCleaner reclaim the checkpoint blocks
+    step_ckpts: dict[int, DataFrame] = {}
+    use_local_ckpt = n_state_rows <= _local_ckpt_max_rows()
 
     sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     loop_parts = loop_width(spark, n_state_rows)
@@ -83,6 +102,11 @@ def spill_loop(
         s.count()  # materialize heavy upstream lineage at session width
 
     def spill(df: DataFrame, i: int) -> DataFrame:
+        if use_local_ckpt:
+            out = df.localCheckpoint(eager=True)
+            step_ckpts[i] = out
+            step_ckpts.pop(i - 2, None)
+            return out
         path = os.path.join(dirs.next_dir(), f"step_{i}")
         df.write.mode("overwrite").parquet(path)
         dirs.note_written(path)

@@ -137,6 +137,8 @@ def test_spill_loop_budget_overflow_lands_on_disk(spark, monkeypatch):
     from ai4orgwebscraper_spark.plans.iterate import spill_loop
 
     monkeypatch.setenv("SPARK_GRAFT_SPILL_BUDGET_BYTES", "1")
+    # pin the parquet branch: small states default to localCheckpoint (r6)
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_CKPT_MAX_ROWS", "0")
     df = spark.range(200).select(F.col("id").alias("v"))
     with spill_loop(spark, 200, prefix="t_budget_") as ctx:
         s = ctx.spill(df, 0)
@@ -156,14 +158,37 @@ def test_spill_loop_budget_overflow_lands_on_disk(spark, monkeypatch):
     assert got == list(range(3, 203))
 
 
-def test_spill_loop_within_budget_stays_on_tmpfs(spark):
+def test_spill_loop_within_budget_stays_on_tmpfs(spark, monkeypatch):
     """Default budget (half of free tmpfs): a tiny loop never engages
     the overflow dir."""
     from ai4orgwebscraper_spark.plans.iterate import spill_loop
 
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_CKPT_MAX_ROWS", "0")
     df = spark.range(10).select(F.col("id").alias("v"))
     with spill_loop(spark, 10, prefix="t_nobudget_") as ctx:
         s = ctx.spill(df, 0)
         s = ctx.spill(s, 1)
         assert ctx.dirs.overflow is None
         assert s.count() == 10
+
+
+def test_spill_loop_small_state_uses_local_checkpoint(spark):
+    """r6: below the row threshold, steps truncate lineage via
+    localCheckpoint — no spill files are written, results identical,
+    and the returned step survives loop exit."""
+    import os
+
+    from ai4orgwebscraper_spark.plans.iterate import spill_loop
+
+    df = spark.range(50).select(F.col("id").alias("v"))
+    with spill_loop(spark, 50, prefix="t_ckpt_") as ctx:
+        s = ctx.spill(df, 0)
+        for i in range(1, 4):
+            s = ctx.spill(s.select((F.col("v") + 1).alias("v")), i)
+        assert os.listdir(ctx.dirs.primary) == []  # no parquet steps
+        assert ctx.dirs.overflow is None
+        # lineage is truncated: the plan bottoms out at an RDD scan,
+        # not at the original range
+        assert "ExistingRDD" in s._jdf.queryExecution().optimizedPlan().toString() or \
+            "LogicalRDD" in s._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted(r["v"] for r in s.collect()) == list(range(3, 53))
