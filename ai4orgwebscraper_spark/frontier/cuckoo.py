@@ -124,10 +124,21 @@ def _insert_all(table: np.ndarray, i1: np.ndarray, fps: np.ndarray, m: int) -> N
                 break
         if placed:
             continue
-        # deterministic eviction walk: kick slot cycles 0..SLOTS-1
+        # deterministic eviction walk. The kick slot depends on the
+        # EVICTED fingerprint, not only the kick counter (r6 fix,
+        # VERDICT r05 #1): with `slot = kick % SLOTS` the walk was a
+        # pure function of (start bucket, kick index), so a small set
+        # of colliding fingerprints could trap the chain in a short
+        # (bucket, slot) cycle while empty slots sat elsewhere — a
+        # Hypothesis-found 13-key set overflowed at load 0.38
+        # (regression-pinned in tests/test_cuckoo_properties.py).
+        # Folding cur_fp in breaks such cycles (the victim choice now
+        # varies along the chain) while staying RNG-free — resume
+        # bit-identity holds because the walk is still a pure function
+        # of the inserted key multiset.
         cur_i, cur_fp = i, fp
         for kick in range(MAX_KICKS):
-            slot = kick % SLOTS
+            slot = (kick + cur_fp) % SLOTS
             cur_fp, table[cur_i, slot] = int(table[cur_i, slot]), cur_fp
             cur_i = _alt(cur_i, cur_fp, m)
             empty = np.nonzero(table[cur_i] == 0)[0]
@@ -141,6 +152,33 @@ def _insert_all(table: np.ndarray, i1: np.ndarray, fps: np.ndarray, m: int) -> N
             )
 
 
+MAX_RESIZES = 24  # termination guard for the doubling loop below
+
+
+def _build_table(keys: pd.Series, m: int) -> tuple[np.ndarray, int]:
+    """Build one shard's table, RESIZING (m ← 2m, rebuild) on overflow
+    instead of raising (r6 fix, VERDICT r05 #1): an unlucky key set no
+    longer kills the crawl — the shard grows deterministically until
+    every key places. Rebuild-from-scratch keeps the table a pure
+    function of (key multiset, final m): bit-identical across
+    processes and resumes. Raising only survives as a last-resort
+    guard after MAX_RESIZES doublings (astronomically more colliding
+    md5 slices than a real key set can produce)."""
+    raw = np.array([int(k[:15], 16) for k in keys], dtype=np.int64)
+    fps = _fp(keys)
+    for _ in range(MAX_RESIZES):
+        table = np.zeros((m, SLOTS), dtype=np.uint16)
+        try:
+            _insert_all(table, raw & (m - 1), fps, m)
+            return table, m
+        except CuckooOverflow:
+            m <<= 1
+    raise CuckooOverflow(
+        f"shard still overflows after {MAX_RESIZES} doublings "
+        f"({len(keys)} keys) — degenerate fingerprint collisions"
+    )
+
+
 def build_cuckoo_shards(
     seen: DataFrame,
     n_shards: int = DEFAULT_SHARDS,
@@ -148,17 +186,18 @@ def build_cuckoo_shards(
 ) -> DataFrame:
     """Distributed cuckoo build: one applyInPandas group per shard →
     DataFrame(shard, table, m_buckets, n_shards). Never collected —
-    same contract as bloom.build_bloom_shards."""
+    same contract as bloom.build_bloom_shards. Shards size
+    independently: each carries its own m_buckets, so a shard that had
+    to resize (see _build_table) interoperates with its siblings."""
     if expected_per_shard is None:
         total = seen.count()
         expected_per_shard = max(64, int(total / max(n_shards, 1) * 1.5))
-    m = _pow2_buckets(expected_per_shard)
+    m0 = _pow2_buckets(expected_per_shard)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         # one copy per DISTINCT key (multiset across keys, set per key)
         pdf = pdf.drop_duplicates(subset=["url_hash"])
-        table = np.zeros((m, SLOTS), dtype=np.uint16)
-        _insert_all(table, _i1(pdf["url_hash"], m), _fp(pdf["url_hash"]), m)
+        table, m = _build_table(pdf["url_hash"], m0)
         return pd.DataFrame(
             {
                 "shard": [int(pdf["__shard"].iloc[0])],

@@ -26,9 +26,11 @@ Scale notes (the 1000-executor view):
 - the seen set is APPEND-ONLY delta parts; the cumulative
   multiplicity aggregation runs once at the end, so no round ever
   reshuffles the full seen table;
-- iterative-state lineage is truncated by parquet round-trips on
-  tmpfs (_spill) — cheaper than localCheckpoint and the same shape as
-  Iceberg snapshots;
+- iterative-state lineage is truncated per round (_spill): states the
+  engine can bound with a deterministic history proxy use
+  localCheckpoint (one job, no file commit); large/unbounded states
+  keep the durable parquet round-trip on tmpfs — the Iceberg-snapshot
+  shape;
 - every round commits the frontier snapshot + output increments with
   an atomic manifest (checkpoint.py) → kill/resume is bit-identical
   (north rule).
@@ -48,7 +50,7 @@ from pyspark.sql import functions as F
 
 from ai4orgwebscraper_spark import schemas
 from ai4orgwebscraper_spark.frontier import checkpoint as ckpt
-from ai4orgwebscraper_spark.frontier.fetch import fetch_map_fn
+from ai4orgwebscraper_spark.frontier.fetch import fetch_arrow_fn
 from ai4orgwebscraper_spark.functions import urls as U
 from ai4orgwebscraper_spark.plans import with_global_seq
 from ai4orgwebscraper_spark.sources.corpus import default_hosts
@@ -239,6 +241,9 @@ class CrawlEngine:
         self._spill_dirs = BudgetedSpillDir("crawl_state_")
         # run-scoped persisted DataFrames, released in close()
         self._pinned: list[DataFrame] = []
+        # run-scoped localCheckpoint references (see _spill): dropped in
+        # close() so the ContextCleaner can reclaim the blocks
+        self._ckpts: list[DataFrame] = []
         # semantics-bearing config only (bloom/salting are result-
         # transparent, max_rounds is a stop condition — extending it to
         # continue a crawl is a legitimate resume)
@@ -299,8 +304,20 @@ class CrawlEngine:
             from ai4orgwebscraper_spark.frontier import bloom as M
         return M
 
-    def _spill(self, df: DataFrame, name: str, rnd: int) -> DataFrame:
+    def _spill(
+        self, df: DataFrame, name: str, rnd: int, est_rows: int | None = None
+    ) -> DataFrame:
         """Truncate iterative lineage via a parquet round-trip on tmpfs.
+
+        r6 (guide §2/§5): when the caller can bound the state size with
+        a DETERMINISTIC estimate (``est_rows`` — the engine's existing
+        crawl-history proxies, e.g. fetches x max fan-out) and it is
+        under plans.iterate's localCheckpoint threshold, lineage is
+        truncated via ``localCheckpoint`` instead: one job, no file
+        commit, blocks retained for the run (self._ckpts keeps the
+        references; close() releases them) — the same retention
+        contract as the spill files. Large or unbounded states keep
+        the parquet path below unchanged.
 
         A columnar parquet write+read truncates lineage like a
         checkpoint at a fraction of localCheckpoint's Java-serialization
@@ -317,6 +334,12 @@ class CrawlEngine:
         disk-backed directory (ADVICE r02 — never ENOSPC a RAM-backed
         tmpfs mid-crawl); already-written files stay put, still
         referenced by live lineage."""
+        from ai4orgwebscraper_spark.plans.iterate import _local_ckpt_max_rows
+
+        if est_rows is not None and est_rows <= _local_ckpt_max_rows():
+            out = df.localCheckpoint(eager=True)
+            self._ckpts.append(out)
+            return out
         path = os.path.join(self._spill_dirs.next_dir(), f"{name}_{rnd}")
         df.write.mode("overwrite").parquet(path)
         self._spill_dirs.note_written(path)
@@ -335,6 +358,7 @@ class CrawlEngine:
             except Exception:
                 pass
         self._pinned.clear()
+        self._ckpts.clear()
         self._spill_dirs.cleanup()
 
     # target rows per fetch task: python-worker spawn is ~0.3-0.5s with
@@ -366,7 +390,12 @@ class CrawlEngine:
             "__salt",
             F.pmod(F.xxhash64("url_hash"), F.lit(buckets)),
         ).repartition(n_parts, F.col("host"), F.col("__salt")).drop("__salt")
-        return salted.mapInPandas(fetch_map_fn, schema=schemas.FETCH_RESULT)
+        # r6: mapInArrow + numpy page synthesis (fetch_arrow_fn) — the
+        # former mapInPandas body looped Python per URL and paid a
+        # pandas→Arrow conversion of list-of-dict span cells on the way
+        # out; the Arrow path builds the span/outlink buffers directly
+        # (exact page parity pinned in tests/test_fetch_vectorized.py)
+        return salted.mapInArrow(fetch_arrow_fn, schema=schemas.FETCH_RESULT)
 
     # ------------------------------------------------------------------
     def run(
@@ -805,6 +834,11 @@ class CrawlEngine:
         # loaded log (0): same one-time cost as the seen aggregation.
         run_seq0 = seq_counter if carry is not None else 0
 
+        # deterministic crawl-history size proxy (fetches x max
+        # fan-out): routes _spill between localCheckpoint and parquet
+        # (r6) and drives the bloom auto-threshold below
+        seen_est = seq_counter * 5
+
         # cross-round politeness clock (VERDICT r01 item 8): per-host
         # last fetched_at_ms, carried across rounds so an inter-round
         # gap can never undercut crawl_delay. On resume this rebuilds
@@ -812,7 +846,7 @@ class CrawlEngine:
         # get the same agg over the empty log — identical code path.
         host_clock = self._spill(
             fetch_log_cum.groupBy("host").agg(F.max("fetched_at_ms").alias("__last_ms")),
-            "host_clock", start_round - 1,
+            "host_clock", start_round - 1, est_rows=max(seen_est, 1),
         )
 
         def _seen_keys() -> DataFrame:
@@ -839,7 +873,6 @@ class CrawlEngine:
         bloom_threshold = int(
             os.environ.get("SPARK_GRAFT_BLOOM_AUTO_THRESHOLD", "1000000")
         )
-        seen_est = seq_counter * 5  # resume-safe deterministic proxy
         bloom_active = self.use_bloom_prefilter is True
 
         B = self._seen_filter_mod()
@@ -879,7 +912,12 @@ class CrawlEngine:
             # counts grow superlinearly with round number. The FAT
             # tables (fetch results) use columnar persist instead (~10x
             # faster materialization) since their lineage is flat.
-            frontier = self._spill(frontier, "frontier", rnd)
+            frontier = self._spill(
+                frontier, "frontier", rnd,
+                # round 0 of a fresh crawl has no history proxy yet —
+                # unbounded seed lists keep the durable parquet path
+                est_rows=seen_est if seen_est > 0 else None,
+            )
             _tick("frontier ckpt", _t)
             if frontier.isEmpty():
                 break
@@ -1013,7 +1051,7 @@ class CrawlEngine:
                 .agg(F.count("*").alias("multiplicity"), F.min("depth").alias("depth"),
                      F.min("seed_rank").alias("seed_rank"))
                 .withColumn("first_seen_round", F.lit(rnd)),
-                "offer_counts", rnd,
+                "offer_counts", rnd, est_rows=n_fetched * 5,
             )
             _tick("offers", _t)
 
@@ -1099,7 +1137,7 @@ class CrawlEngine:
                 )
                 .groupBy("host")
                 .agg(F.max("__last_ms").alias("__last_ms")),
-                "host_clock", rnd,
+                "host_clock", rnd, est_rows=max(seen_est, 1),
             )
             seen_delta = offer_counts.select(
                 "url_hash", "url", "first_seen_round", "multiplicity"

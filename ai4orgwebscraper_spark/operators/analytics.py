@@ -209,25 +209,25 @@ def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return on d+1). Integer distinct counts and exact bigint ppm, so
     the cross-engine hash gate holds with no float boundary.
 
-    Scale shape: the corpus-scale pass is one DISTINCT (user_id, day)
-    — map-side combined, output bounded by users x days; the
-    day-over-day self-join runs on that reduced table keyed by
-    (user_id, day) and the rollup groups by day (tiny). The DISTINCT
-    table feeds both join sides from one Exchange (identical
-    subtrees reuse)."""
+    Scale shape (r6 — closes the r5 doc/plan drift, VERDICT #5): the
+    corpus-scale pass is one DISTINCT (user_id, day) — map-side
+    combined, output bounded by users x days. A user returns on d+1
+    iff their NEXT active day (per-user lead over the distinct table)
+    is exactly d+1 — same definition as the former day-shift
+    self-join, but with ONE events scan instead of two and a per-user
+    window over the reduced table instead of a join (the join's
+    came_back side re-scanned events because its extra projection
+    broke exchange-reuse subtree identity)."""
     ev = load_table(spark, sf_dir, "events")
     active = ev.select(
         "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
     ).distinct()
-    # a user active on day d+1 appears here under day d — the left
-    # join below then marks exactly the (user, d) pairs that return
-    came_back = active.select(
-        "user_id",
-        F.date_format(F.date_sub(F.to_date("day"), 1), "yyyy-MM-dd").alias("day"),
-        F.lit(1).alias("returns_next_day"),
+    w = Window.partitionBy("user_id").orderBy("day")
+    returns_next = (
+        F.datediff(F.to_date(F.lead("day").over(w)), F.to_date("day")) == 1
     )
     return (
-        active.join(came_back, ["user_id", "day"], "left")
+        active.withColumn("returns_next_day", F.when(returns_next, 1))
         .groupBy("day")
         .agg(
             F.count("*").alias("n_active"),

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai4orgwebscraper_spark.operators.text import _tokens
-from ai4orgwebscraper_spark.sources.readers import load_table
+from ai4orgwebscraper_spark.sources.readers import load_table, load_wide
 
 N_SEEDS = 8
 SEEDS_PER_BAND = 2  # -> 4 bands
@@ -83,7 +83,7 @@ MAX_BUCKET = 64
 
 
 def _distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("token")
     )
@@ -92,7 +92,7 @@ def _distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content fingerprint: groups with >1 doc are
     duplicates; keeper = min doc_id."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     fp = F.md5(F.array_join(_tokens(F.col("text")), " "))
     return (
         docs.select("doc_id", fp.alias("fingerprint"))
@@ -168,7 +168,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 16 vote tallies are 16 conditional sums over the same token
     stream — the one-pass pattern of minhash_bands. Map-side partial
     sums shrink the shuffle to |docs| x 16 longs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     hexmap = "0123456789abcdef"
     hashed = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
@@ -213,7 +213,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds per-shingle fan-out to MAX_SHINGLE_DF^2). Output is
     per-block aggregate (pair lists explode at scale; stats are the
     stable contract)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     d = docs.select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
     shingle_expr = F.expr(
         "CASE WHEN size(toks) >= 3 THEN "
@@ -301,7 +301,7 @@ def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles — thousands of rows however big the corpus is — so the
     check is ONE broadcast semi-join over the training shingle stream;
     the corpus never shuffles. Per-source counts out (bounded)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     d = docs.select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
     shingle_expr = F.expr(
         "CASE WHEN size(toks) >= 3 THEN "
@@ -524,7 +524,7 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is only ever computed on O(|candidates|) rows, never
     all-pairs."""
     pairs = lsh_pairs(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_wide(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("toks")
     )
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
@@ -582,7 +582,7 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition cannot be split — the second scan is the price of the
     skew-safe shape.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     base = docs.select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
     n_segs = F.greatest(
         F.ceil(F.size("toks") / F.lit(SEG_TOKENS)).cast("int"), F.lit(1)
@@ -802,7 +802,7 @@ def q_dedup_dupspans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     k = DUPSPAN_TOKENS
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "source", _tokens(F.col("text")).alias("toks")
     )
@@ -929,7 +929,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-source totals are an S-row broadcast. Compare
     q_dedup_ngram_jaccard, whose DOC-level self-join needs hot-key
     caps — source-level granularity makes the cap unnecessary."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     base = docs.select("source", _tokens(F.col("text")).alias("toks"))
     n_segs = F.greatest(
         F.ceil(F.size("toks") / F.lit(SEG_TOKENS)).cast("int"), F.lit(1)

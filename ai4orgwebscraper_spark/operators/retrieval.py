@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai4orgwebscraper_spark.operators.text import STOPWORDS, _tokens
-from ai4orgwebscraper_spark.sources.readers import load_table
+from ai4orgwebscraper_spark.sources.readers import load_table, load_wide
 
 DEC6 = "decimal(18,6)"
 
@@ -59,7 +59,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB table) needs anyway — so only <=5 rows per term survive
     into the bounded collect_list."""
     per = (
-        _index_terms(load_table(spark, sf_dir, "documents"))
+        _index_terms(load_wide(spark, sf_dir, "documents"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
     )
@@ -144,7 +144,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 documents for the fixed keyword query under BM25
     (rational idf). Deterministic ties: (score desc, doc_id asc) —
     TakeOrderedAndProject, nothing wide after the per-doc agg."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     return (
         bm25_scores(docs)
         .orderBy(F.desc("score"), "doc_id")
@@ -161,7 +161,7 @@ def q_tfidf_lang_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: term df table is vocab-sized -> broadcast; the window
     partitions by lang over vocab-sized per-lang aggregates (tiny
     post-agg, no skew exposure)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     toks = _index_terms(docs).join(
         docs.select("doc_id", "lang"), "doc_id"
     )

@@ -44,15 +44,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai4orgwebscraper_spark.operators.text import _tokens
-from ai4orgwebscraper_spark.sources.readers import load_table
+from ai4orgwebscraper_spark.sources.readers import load_table, load_wide
 
 N_MERGES = 5
 SEP = "\x1f"  # below every corpus symbol char => pair-string order == (a, b) tuple order
 
 
 def _char_seq(word_col):
-    """' a  b  c ' encoding of a word's characters (module docstring)."""
-    chars = F.filter(F.split(word_col, ""), lambda c: c != "")
+    """' a  b  c ' encoding of a word's characters (module docstring).
+    array_remove == the former filter(c != '') lambda, minus the
+    interpreted lambda dispatch (see text._tokens)."""
+    chars = F.array_remove(F.split(word_col, ""), "")
     return F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
 
 
@@ -110,31 +112,22 @@ def bpe_merges(words: DataFrame, n_merges: int = N_MERGES) -> list[tuple[str, st
     return merges
 
 
-_TRAINED_BPE_MEMO: dict[tuple, list[tuple[str, str, int]]] = {}
-
-
 def trained_bpe(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
-    """Train-once semantics for the merge list: q_bpe_merges and
-    q_bpe_encode share ONE training per (session, table) — the same
-    rationale (and memo shape) as clustering.trained_kmeans: the
-    tokenizer is a build artifact, and a sweep/driver session running
-    both queries must not pay two identical N_MERGES-collect
-    trainings. Deterministic: the memo returns the exact merges the
-    training produced."""
-    import os
-
-    key = (id(spark), os.path.abspath(sf_dir))
-    if key in _TRAINED_BPE_MEMO:
-        return _TRAINED_BPE_MEMO[key]
-    docs = load_table(spark, sf_dir, "documents")
+    """Train the merge list from the corpus. r6: the train-once memo
+    (_TRAINED_BPE_MEMO) is GONE — bench.py clears the kmeans memo per
+    run but not this one, so runs 2-3 of the q_bpe_merges leg were
+    timing a dict hit instead of BPE training (r5 ADVICE, medium).
+    bench.py is frozen for measurement, so the honest fix lives here:
+    every call recomputes from the parquet inputs. Each q_bpe_encode
+    call pays one extra vocab-sized training — N_MERGES tiny
+    aggregation jobs, well under a second warm."""
+    docs = load_wide(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
-    merges = bpe_merges(words)
-    _TRAINED_BPE_MEMO[key] = merges
-    return merges
+    return bpe_merges(words)
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,7 +221,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the training CTE prefix is shared verbatim with
     q_bpe_merges (s{N} IS the encoded vocabulary), so train and
     encode can never drift apart."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     occ = (
         docs.select("source", F.explode(_tokens(F.col("text"))).alias("word"))
         .groupBy("source", "word")

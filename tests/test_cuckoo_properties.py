@@ -33,6 +33,39 @@ def _build(keys: list[str], m: int) -> np.ndarray:
     return table
 
 
+# the 13-key set (md5s of deterministic strings) on which the r5-era
+# deterministic eviction walk (`slot = kick % SLOTS`) cycled and raised
+# CuckooOverflow at load 0.38 — the VERDICT r05 #1 failure class. The
+# r6 fingerprint-dependent kick slot must place it at the ORIGINAL
+# TARGET_LOAD sizing, no resize needed.
+REGRESSION_13 = [
+    "51ca797a8f84b580bf44b6e30c1e953f", "0d373e2573871b0c72930ab492644aba",
+    "2b4087dcf5cb7487187dafeaa09ef194", "7b19c5d62a3eb83be2967137a30745c7",
+    "94b3044352603391298dcbf0f96f95c8", "8bdb2ac687fddcb56611348355eec46e",
+    "54ff61c231302733eda59b1937c40e82", "cde5f8c25de6c02bb6acaebe81fb484c",
+    "eca07822b2b96f57e4ee85d56abdbce5", "0e4e8865ce1d740301bd5d9950b80ffd",
+    "dce3b04b22d40a81c4bfb1d0fba87801", "a11be2ea63934b303707cfa5e1ee6d83",
+    "afafce72627b8d03da3206e3c5ae1bf5",
+]
+
+
+def test_regression_13_key_cycle_places_without_resize():
+    m = C._pow2_buckets(len(REGRESSION_13))
+    table = _build(REGRESSION_13, m)  # r5 walk raised CuckooOverflow here
+    assert all(_present(table, k, m) for k in REGRESSION_13)
+
+
+def test_build_table_resizes_instead_of_raising(monkeypatch):
+    """Even when the walk genuinely overflows (forced via MAX_KICKS=0),
+    _build_table doubles m and retries instead of killing the crawl,
+    and every key stays present at the final size."""
+    monkeypatch.setattr(C, "MAX_KICKS", 0)
+    keys = _md5s(list(range(40)))
+    table, m = C._build_table(pd.Series(keys), C._pow2_buckets(len(keys)))
+    assert m >= C._pow2_buckets(len(keys))
+    assert all(_present(table, k, m) for k in keys)
+
+
 def _present(table: np.ndarray, key: str, m: int) -> bool:
     fp = int(C._fp(pd.Series([key]))[0])
     i = int(key[:15], 16) & (m - 1)

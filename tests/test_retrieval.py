@@ -54,6 +54,9 @@ def test_inverted_index_postings(spark, docs_df, monkeypatch):
     monkeypatch.setattr(
         R, "load_table", lambda s, sf, t: docs_df
     )
+    monkeypatch.setattr(
+        R, "load_wide", lambda s, sf, t: docs_df
+    )
     rows = {r["term"]: r for r in q_inverted_index(spark, "unused").collect()}
     # twin
     from collections import defaultdict
@@ -117,6 +120,7 @@ def test_bm25_search_ordering(spark, monkeypatch):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     monkeypatch.setattr(R, "load_table", lambda s, sf, t: docs)
+    monkeypatch.setattr(R, "load_wide", lambda s, sf, t: docs)
     rows = q_bm25_search(spark, "unused").collect()
     assert [r["doc_id"] for r in rows] == [10, 11]  # 12 matches nothing
     assert rows[0]["score"] > rows[1]["score"]
@@ -127,6 +131,7 @@ def test_tfidf_lang_terms_rank_and_scores(spark, docs_df, monkeypatch):
     import ai4orgwebscraper_spark.operators.retrieval as R
 
     monkeypatch.setattr(R, "load_table", lambda s, sf, t: docs_df)
+    monkeypatch.setattr(R, "load_wide", lambda s, sf, t: docs_df)
     rows = q_tfidf_lang_terms(spark, "unused").collect()
     by_lang: dict[str, list] = {}
     for r in rows:
