@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ai4orgwebscraper_spark.sources.readers import load_table
+from ai4orgwebscraper_spark.sources.readers import load_table, load_wide
 
 DEC = "decimal(18,2)"
 DEC4 = "decimal(18,4)"
@@ -70,9 +70,11 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: orders is the fact side; customer joins via shuffle-hash/
     broadcast as AQE decides; top-10 is TakeOrderedAndProject (no full
-    sort)."""
+    sort). The fact scan is hash-widened on the group key when the
+    fixture file is under-parallel (load_wide: no-op on a multi-split
+    table) so the probe+partial-agg map side uses the full width."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_wide(spark, sf_dir, "orders", by=["o_custkey"])
     return (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
@@ -165,8 +167,10 @@ def q_supplier_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way fact join lineitem ⋈ supplier ⋈ part with agg — the
     heaviest relational shape here. Scale: supplier/part broadcast at
     these SFs; at 100TB the join keys are co-partitioned by bucketing
-    the fact table on l_suppkey (see SURVEY.md §4.2)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    the fact table on l_suppkey (see SURVEY.md §4.2). The fact scan is
+    hash-widened on l_suppkey when the fixture file is under-parallel
+    (load_wide: no-op on a multi-split table)."""
+    li = load_wide(spark, sf_dir, "lineitem", by=["l_suppkey"])
     supp = load_table(spark, sf_dir, "supplier")
     part = load_table(spark, sf_dir, "part")
     return (

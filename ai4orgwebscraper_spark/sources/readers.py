@@ -63,17 +63,29 @@ def _scan_parallelism(sf_dir: str, name: str) -> int:
 
 
 def load_wide(
-    spark: SparkSession, sf_dir: str, name: str, target: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    target: int | None = None,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """``load_table`` + ``widen`` for per-row-compute-heavy consumers,
     with the under-parallelism test done from parquet footers instead
     of an RDD conversion. See ``widen`` for why this is scale-adaptive
-    (no-op on any multi-split table)."""
+    (no-op on any multi-split table).
+
+    ``by``: hash-partition on these columns instead of round-robin —
+    round-robin pays a deterministic sort-before-repartition of the
+    input (SPARK-23207), which a deterministic hash key avoids; use it
+    when a uniform high-cardinality key exists (e.g. the fact-side
+    join key)."""
     df = load_table(spark, sf_dir, name)
     if target is None:
         target = spark.sparkContext.defaultParallelism
     if _scan_parallelism(sf_dir, name) >= target:
         return df
+    if by:
+        return df.repartition(target, *by)
     return df.repartition(target)
 
 
