@@ -293,12 +293,19 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, (stage, n) in enumerate(zip(FUNNEL_STAGES, counts)):
         prev = counts[i - 1] if i else n
         top = counts[0] if counts[0] else 1
+        # stage 1 converts from itself: 100% by definition, also when
+        # the funnel top is empty (r5 ADVICE: the oracle emits a
+        # constant 1000000 for stage 1; the engine's prev=0 branch
+        # returned 0 on an empty top — align with the oracle)
+        conv_prev = (
+            1_000_000 if i == 0 else ((n * 1_000_000) // prev if prev else 0)
+        )
         rows.append(
             (
                 i + 1,
                 stage,
                 n,
-                (n * 1_000_000) // prev if prev else 0,
+                conv_prev,
                 (n * 1_000_000) // top,
             )
         )

@@ -32,10 +32,10 @@ PICKS = {
     "q_events_session_windows": "native session-window aggregation (streaming-capable operator, batch-verified)",
     "q_knn_lsh_multiprobe": "full-mix hyperplane signature is a pure column expr; probe ring = codegen'd bit_count(XOR) <= 2 against the 1-row broadcast query signature — no bucket enumeration, no corpus shuffle (r5)",
     "q_doc_repetition": "bigrams via in-row transform(sequence) — no self-join; explode + partial agg shrinks to per-doc vocab before the doc_id-keyed shuffle; all group keys doc-/source-scoped (r5)",
-    "q_knn_ivf": "IVF assignment as an in-row array_sort argmin over broadcast centroids — no Exchange on vec_id, no window (r03 fix); probe join is a tiny broadcast",
+    "q_knn_ivf": "IVF assignment as an in-row array_sort argmin over broadcast centroids — no Exchange on vec_id, no window (r03 fix); probe join is a tiny broadcast; the fixture scan is round-robin-widened (r6 load_wide, no-op on multi-split tables)",
     "q_knn_ivf_multiprobe": "same shuffle-free assignment; nprobe=2 probe set explodes ONE row's top-2 ranked centroids",
     "q_knn_ivf_learned": "learned-centroid IVF: k-means training ran at build time (separate jobs); the query plan itself is the same shuffle-free in-row argmin assign + broadcast probe join",
-    "kmeans_embeddings": "final Lloyd assignment + profile: narrow in-row argmin over the broadcast packed-centroid array, then one partial+final hash agg on cluster — the corpus never shuffles for assignment",
+    "kmeans_embeddings": "final Lloyd assignment + per-row distance in ONE vectorized Arrow pass (r6: numpy argmin against closure-shipped centroids — no broadcast join, no interpreted fold), then one partial+final hash agg on cluster — the corpus never shuffles for assignment",
     "q_pagerank": "iterative state spilled per step: the final plan is a parquet scan of the last spill + round + sort — the 10 iteration joins ran at loop width with the adjacency pre-partitioned once",
     "q_bm25_search": "corpus stats as driver-side literals (no 1-row crossJoin BNLJ); term-df broadcast; the only data-scale shuffle is the per-doc agg; top-20 via TakeOrderedAndProject (r5)",
     "q_inverted_index": "explode -> two partial-agg'd groupBys; posting-head via rank-filtered window over (term, doc_id) — sort-based/spillable, never a per-term in-memory array; no SinglePartition exchange (r5)",
@@ -51,7 +51,7 @@ PICKS = {
     "q_doc_shuffle_shards": "md5 permutation as one column expr; the only shuffle is hash-partitioning by the 256-way shard key; position window partitioned by shard — no global sort anywhere (r5)",
     "q_bpe_encode": "encode runs on the DISTINCT word table (vocab-sized), merges folded as literal replace nodes; the corpus-scale pass is one explode + map-side-combined groupBy(source, word) before the vocab join (r5)",
     "q_doc_chunks": "strided-overlap chunk explode bounded by ~n/80 rows per doc (transform lambda per CHUNK, not per token); per-source partial-agg stats + one map-side-combined distinct on chunk md5 (r5)",
-    "q_user_retention": "map-side-combined DISTINCT (user, day) before anything else; the day-shift self-join runs on the reduced table from one reused Exchange; rollup groups by day (r5)",
+    "q_user_retention": "map-side-combined DISTINCT (user, day) before anything else; retention = next-active-day lead() window per user over the reduced table — ONE events scan, no self-join (r6); rollup groups by day",
     "q_events_funnel": "one conditional-min agg per stage keyed by user_id, each stage joined to the previous stage's (user, ts) table — no windows, no events self-join (r5)",
 }
 
