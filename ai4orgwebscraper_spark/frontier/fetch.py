@@ -2,19 +2,19 @@
 reference's one-network-call-per-row loop (reference
 app_wrapper.py:165-168 calling web_scraper.py:8-54 per URL).
 
-``fetch_map_fn`` is a ``mapInPandas`` stage: an iterator of Arrow
-batches of admitted frontier rows in, an iterator of batches of
-(status, error, title, spans, outlinks) out. No per-row Python at the
-DataFrame layer (BASELINE.json:input_hint); inside the batch the
-synthetic ``page_for`` generator stands in for the network — in
-production this body would issue pipelined async HTTP per batch, with
-a per-executor connection pool (the per-partition analog of the
-reference's ``requests.Session`` reuse, web_scraper_js.py:26).
+``fetch_arrow_fn`` (the engine's stage since r6) is a ``mapInArrow``
+stage: an iterator of Arrow batches of admitted frontier rows in, an
+iterator of batches of (status, error, title, spans, outlinks) out,
+with the whole synthetic page derivation vectorized in numpy and the
+span/outlink list columns assembled directly as Arrow buffers — zero
+per-row Python on the hot path. In production this body would issue
+pipelined async HTTP per batch, with a per-executor connection pool
+(the per-partition analog of the reference's ``requests.Session``
+reuse, web_scraper_js.py:26).
 
-The batch body builds COLUMNS, not row dicts — on this data path the
-worker's allocation rate is the scaling bottleneck (kernel time from
-malloc/socket churn), so per-row object creation is kept to the span
-structs Arrow itself requires.
+``fetch_map_fn``/``_fetch_batch`` below is the original scalar
+mapInPandas twin — kept as the readable reference implementation and
+as the parity target of tests/test_fetch_vectorized.py.
 """
 
 from __future__ import annotations
